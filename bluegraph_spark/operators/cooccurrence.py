@@ -1,0 +1,252 @@
+"""Co-occurrence edge-table builder — the engine's core ingest operator.
+
+Reference semantics: ``CooccurrenceGenerator``
+(/root/reference/bluegraph/preprocess/generators.py:155-431): two nodes
+co-occur when their *factor sets* intersect (factors = values of a set-valued
+node property, or shared edge targets of a given edge type). For every
+unordered co-occurring pair the reference emits one edge with the common
+factors and statistics frequency / PPMI / NPMI
+(generators.py:76-138), where
+
+- ``frequency(s,t)`` = |factors(s) ∩ factors(t)|
+- ``s_freq`` = |factors(s)|
+- ``total_factor_instances`` defaults to |∪ factors| (generators.py:363-376).
+
+The reference scans all n(n-1)/2 pairs with a multiprocessing pool
+(generators.py:272-328). Spark-first replacement: represent occurrences as a
+long table ``(node, factor)`` and compute co-occurrence as a **self-equi-join
+on factor** followed by a pair aggregation — the shuffle and AQE replace the
+worker pool, and only genuinely co-occurring pairs are ever materialized.
+
+Scale notes (100 TB design):
+- A factor occurring in f files yields f(f-1)/2 join rows: the classic skew
+  site. Mitigations, all explicit knobs: ``factor_freq_cap`` (drop factors
+  above a document-frequency cap — semantically the reference's
+  min-occurrence / top-n vocabulary pruning, cord19kg/utils.py:618-651),
+  AQE skew-join (on by default in the session), and ``salt`` (split each
+  heavy factor group across S salted sub-joins; result-identical, tested).
+- ``common_factors`` materializes the intersection sets and is opt-in only:
+  shuffling per-pair factor arrays at 10^12-file scale is prohibitive
+  (SURVEY.md §7.5).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bluegraph_spark.functions.mi import mutual_information_col
+
+STATISTICS = ("frequency", "ppmi", "npmi", "expected", "pmi2", "pmi3")
+
+# Above this per-factor occurrence count, the salted path (when salt is set)
+# takes over; below it, the plain self-join is strictly cheaper.
+DEFAULT_SALT_THRESHOLD = 10_000
+
+
+def occurrences_from_node_property(
+    nodes: DataFrame, id_col: str = "id", prop_col: str = "factors"
+) -> DataFrame:
+    """(node, factor) long table from a set-valued node property.
+
+    Mirrors ``generate_from_nodes(node_property=...)``
+    (generators.py:352-383); the array column is exploded and de-duplicated
+    (reference cells are Python sets).
+    """
+    return (
+        nodes.select(
+            F.col(id_col).cast("string").alias("node"),
+            F.explode(prop_col).alias("factor"),
+        )
+        .select("node", F.col("factor").cast("string").alias("factor"))
+        .distinct()
+    )
+
+
+def occurrences_from_edges(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    type_col: str | None = None,
+    edge_type: str | None = None,
+    reverse: bool = False,
+) -> DataFrame:
+    """(node, factor) table from typed edges: factor = shared edge target.
+
+    Mirrors ``generate_from_edges`` (generators.py:385-431); ``reverse``
+    swaps the roles of source and target (generators.py:185-195).
+    """
+    if type_col is not None and edge_type is not None:
+        edges = edges.filter(F.col(type_col) == edge_type)
+    node, factor = (dst_col, src_col) if reverse else (src_col, dst_col)
+    return edges.select(
+        F.col(node).cast("string").alias("node"),
+        F.col(factor).cast("string").alias("factor"),
+    ).distinct()
+
+
+def _pair_instances(occ: DataFrame, salt: int | None, salt_threshold: int) -> DataFrame:
+    """One row per (s, t, factor) with s < t, via self-join on factor.
+
+    With ``salt`` set, factors whose occurrence count exceeds
+    ``salt_threshold`` are joined through S salted sub-joins: the left side
+    gets a deterministic salt from the node id, the right side is replicated
+    to every salt value, so every qualifying pair is still produced exactly
+    once while the heaviest factor group is split across S tasks.
+    """
+    a = occ.alias("a")
+    b = occ.alias("b")
+    plain_cond = (F.col("a.factor") == F.col("b.factor")) & (
+        F.col("a.node") < F.col("b.node")
+    )
+    if not salt:
+        return a.join(b, plain_cond).select(
+            F.col("a.node").alias("s"),
+            F.col("b.node").alias("t"),
+            F.col("a.factor").alias("factor"),
+        )
+
+    fcount = occ.groupBy("factor").agg(F.count("*").alias("_fc"))
+    occ_f = occ.join(fcount, "factor")
+    light = occ_f.filter(F.col("_fc") <= salt_threshold).drop("_fc")
+    heavy = occ_f.filter(F.col("_fc") > salt_threshold).drop("_fc")
+
+    la, lb = light.alias("a"), light.alias("b")
+    light_pairs = la.join(lb, plain_cond).select(
+        F.col("a.node").alias("s"),
+        F.col("b.node").alias("t"),
+        F.col("a.factor").alias("factor"),
+    )
+
+    ha = heavy.withColumn("_salt", F.pmod(F.xxhash64("node"), F.lit(salt))).alias("a")
+    hb = (
+        heavy.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<long>"))
+        )
+    ).alias("b")
+    heavy_pairs = ha.join(
+        hb,
+        (F.col("a.factor") == F.col("b.factor"))
+        & (F.col("a._salt") == F.col("b._salt"))
+        & (F.col("a.node") < F.col("b.node")),
+    ).select(
+        F.col("a.node").alias("s"),
+        F.col("b.node").alias("t"),
+        F.col("a.factor").alias("factor"),
+    )
+    return light_pairs.unionByName(heavy_pairs)
+
+
+def cooccurrence_edges(
+    occ: DataFrame,
+    statistics: Sequence[str] = ("frequency",),
+    total_factor_instances: int | None = None,
+    keep_common_factors: bool = False,
+    factor_freq_cap: int | None = None,
+    min_frequency: int | None = None,
+    prune_zero_mi: str | None = None,
+    salt: int | None = None,
+    salt_threshold: int = DEFAULT_SALT_THRESHOLD,
+    limit: int | None = None,
+) -> DataFrame:
+    """Build the co-occurrence edge table from a (node, factor) table.
+
+    Returns ``(src, dst, <statistics...>[, common_factors])`` with
+    ``src < dst`` (canonical undirected form; the reference's
+    source-index < target-index ordering, generators.py:204, reduces to the
+    same unordered pair set).
+
+    ``prune_zero_mi``: name of a computed MI column; rows with value <= 0 are
+    dropped (reference cord19kg/utils.py:661-662).
+    ``limit``: keep at most n edges — like the reference's early-exit limit
+    (generators.py:238-243) the *choice* of edges is not deterministic.
+    """
+    for s in statistics:
+        if s not in STATISTICS:
+            raise ValueError(f"unknown statistic {s!r}; supported: {STATISTICS}")
+
+    occ = occ.select(
+        F.col("node").cast("string").alias("node"),
+        F.col("factor").cast("string").alias("factor"),
+    ).distinct()
+
+    if factor_freq_cap is not None:
+        fc = occ.groupBy("factor").agg(F.count("*").alias("_fc"))
+        occ = (
+            occ.join(fc.filter(F.col("_fc") <= factor_freq_cap), "factor")
+            .drop("_fc")
+        )
+
+    needs_mi = any(s != "frequency" for s in statistics)
+    if needs_mi and total_factor_instances is None:
+        # Reference default: |union of all factor sets| (generators.py:363-376).
+        total_factor_instances = occ.select("factor").distinct().count()
+
+    pairs = _pair_instances(occ, salt, salt_threshold)
+
+    aggs = [F.count("*").alias("frequency")]
+    if keep_common_factors:
+        aggs.append(F.sort_array(F.collect_set("factor")).alias("common_factors"))
+    edges = pairs.groupBy(F.col("s").alias("src"), F.col("t").alias("dst")).agg(*aggs)
+
+    if needs_mi:
+        node_freq = occ.groupBy("node").agg(F.count("*").alias("_nf"))
+        edges = (
+            edges.join(node_freq.withColumnRenamed("node", "src"), "src")
+            .withColumnRenamed("_nf", "_s_freq")
+            .join(node_freq.withColumnRenamed("node", "dst"), "dst")
+            .withColumnRenamed("_nf", "_t_freq")
+        )
+        total = F.lit(total_factor_instances)
+        for stat in statistics:
+            if stat == "frequency":
+                continue
+            mitype = None if stat == "ppmi" else ("normalized" if stat == "npmi" else stat)
+            edges = edges.withColumn(
+                stat,
+                mutual_information_col(
+                    F.col("frequency"), F.col("_s_freq"), F.col("_t_freq"), total, mitype
+                ),
+            )
+        edges = edges.drop("_s_freq", "_t_freq")
+
+    out_cols = ["src", "dst"] + [s for s in statistics]
+    if keep_common_factors:
+        out_cols.append("common_factors")
+    edges = edges.select(*out_cols)
+
+    if min_frequency is not None:
+        edges = edges.filter(F.col("frequency") >= min_frequency)
+    if prune_zero_mi is not None:
+        edges = edges.filter(F.col(prune_zero_mi) > 0)
+    if limit is not None:
+        edges = edges.limit(limit)
+    return edges
+
+
+def cooccurrence_edges_multiset(
+    occ_counts: DataFrame,
+    min_frequency: int | None = None,
+) -> DataFrame:
+    """Multiset co-occurrence: frequency = Σ_f min(count_s(f), count_t(f)).
+
+    Reference ``safe_intersection`` list branch
+    (/root/reference/bluegraph/core/utils.py:59-74): when factor collections
+    are lists, the intersection is a multiset with per-key min counts.
+    ``occ_counts`` has columns (node, factor, cnt).
+    """
+    a, b = occ_counts.alias("a"), occ_counts.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.factor") == F.col("b.factor")) & (F.col("a.node") < F.col("b.node")),
+    ).select(
+        F.col("a.node").alias("src"),
+        F.col("b.node").alias("dst"),
+        F.least(F.col("a.cnt"), F.col("b.cnt")).alias("_m"),
+    )
+    edges = pairs.groupBy("src", "dst").agg(F.sum("_m").alias("frequency"))
+    if min_frequency is not None:
+        edges = edges.filter(F.col("frequency") >= min_frequency)
+    return edges

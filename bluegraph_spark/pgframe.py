@@ -1,0 +1,329 @@
+"""SparkPGFrame — the property graph as a pair of DataFrames.
+
+The reference's fundamental abstraction is ``PGFrame``: a node frame indexed
+by ``@id`` and an edge frame indexed by ``(@source_id, @target_id)``, with
+every extra column a property and ``@type`` a reserved (possibly set-valued)
+property (/root/reference/bluegraph/core/io.py:36-45, 714-1337). The
+reference ships a ``SparkPGFrame`` stub whose ``__init__`` is ``pass``
+(core/io.py:1340-1345); this class is that missing backend, built
+DataFrame-first rather than by porting the pandas code.
+
+Column conventions: nodes ``(id, ...props)``, edges ``(src, dst, ...props)``,
+``type`` as ``array<string>`` when set-valued. Undirected graphs store each
+edge once in canonical ``src <= dst`` form and are symmetrized on demand for
+message-passing algorithms (reference stores s<t by generation order,
+preprocess/generators.py:204, and interprets ``directed=False`` at backend
+load, core/io.py:1357-1363).
+
+Everything here is a narrow relational plan (joins / anti-joins / aggregates)
+that Catalyst can push down and prune — e.g. the reference's O(n·m) Python
+loop for ``isolated_nodes`` (core/io.py:1237-1252) becomes an anti-join
+against the distinct endpoint set.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def canonicalize_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Put undirected edges in canonical (least, greatest) endpoint order."""
+    others = [c for c in edges.columns if c not in (src, dst)]
+    return edges.select(
+        F.least(F.col(src), F.col(dst)).alias(src),
+        F.greatest(F.col(src), F.col(dst)).alias(dst),
+        *others,
+    )
+
+
+def symmetrize_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Both directions of every undirected edge (for message passing).
+
+    Self-loops are emitted once to avoid double-counting their weight, which
+    matches how NetworkX treats undirected self-loops in e.g. PageRank's
+    stochastic matrix.
+    """
+    others = [c for c in edges.columns if c not in (src, dst)]
+    fwd = edges.select(F.col(src), F.col(dst), *others)
+    rev = edges.filter(F.col(src) != F.col(dst)).select(
+        F.col(dst).alias(src), F.col(src).alias(dst), *others
+    )
+    return fwd.unionByName(rev)
+
+
+class SparkPGFrame:
+    """Property graph = (nodes DataFrame, edges DataFrame)."""
+
+    def __init__(
+        self,
+        nodes: DataFrame,
+        edges: DataFrame,
+        directed: bool = False,
+        id_col: str = "id",
+        src_col: str = "src",
+        dst_col: str = "dst",
+    ):
+        if id_col != "id":
+            nodes = nodes.withColumnRenamed(id_col, "id")
+        if src_col != "src":
+            edges = edges.withColumnRenamed(src_col, "src")
+        if dst_col != "dst":
+            edges = edges.withColumnRenamed(dst_col, "dst")
+        self._nodes = nodes.withColumn("id", F.col("id").cast("string"))
+        self._edges = edges.withColumn("src", F.col("src").cast("string")).withColumn(
+            "dst", F.col("dst").cast("string")
+        )
+        if not directed:
+            self._edges = canonicalize_edges(self._edges)
+        self.directed = directed
+
+    # ---- constructors -------------------------------------------------
+
+    @classmethod
+    def from_edges(cls, edges: DataFrame, directed: bool = False, **kw) -> "SparkPGFrame":
+        """Graph with the vertex set induced from edge endpoints."""
+        src = kw.get("src_col", "src")
+        dst = kw.get("dst_col", "dst")
+        nodes = (
+            edges.select(F.col(src).cast("string").alias("id"))
+            .unionByName(edges.select(F.col(dst).cast("string").alias("id")))
+            .distinct()
+        )
+        return cls(nodes, edges, directed=directed, **kw)
+
+    # ---- projections / filters (reference core/io.py:968-1013) --------
+
+    def node_properties(self) -> list[str]:
+        return [c for c in self._nodes.columns if c != "id"]
+
+    def edge_properties(self) -> list[str]:
+        return [c for c in self._edges.columns if c not in ("src", "dst")]
+
+    def nodes(self, typed_by: str | None = None, props: Sequence[str] | None = None) -> DataFrame:
+        """Node frame, optionally filtered by type membership and projected.
+
+        Type match is superset semantics (``element_has_type``,
+        core/utils.py:82-87): a node with types {A,B} matches typed_by=A.
+        """
+        df = self._nodes
+        if typed_by is not None:
+            df = _filter_typed(df, typed_by)
+        if props is not None:
+            df = df.select("id", *props)
+        return df
+
+    def edges(self, typed_by: str | None = None, props: Sequence[str] | None = None) -> DataFrame:
+        df = self._edges
+        if typed_by is not None:
+            df = _filter_typed(df, typed_by)
+        if props is not None:
+            df = df.select("src", "dst", *props)
+        return df
+
+    def filter_nodes(self, ids: DataFrame | Iterable[str]) -> DataFrame:
+        """Semi-join the node frame against an id list (core/io.py:1164-1166)."""
+        ids_df = _as_id_df(self._nodes.sparkSession, ids)
+        return self._nodes.join(ids_df, "id", "left_semi")
+
+    def filter_edges(self, pairs: DataFrame) -> DataFrame:
+        """Semi-join edges on (src, dst) (core/io.py:1168-1170)."""
+        return self._edges.join(pairs.select("src", "dst"), ["src", "dst"], "left_semi")
+
+    def subgraph(
+        self,
+        nodes: DataFrame | Iterable[str] | None = None,
+        edges: DataFrame | None = None,
+        remove_isolated_nodes: bool = False,
+    ) -> "SparkPGFrame":
+        """Node-induced (both endpoints in set) or edge-induced subgraph
+        (core/io.py:1172-1199)."""
+        n, e = self._nodes, self._edges
+        if nodes is not None:
+            ids = _as_id_df(n.sparkSession, nodes)
+            n = n.join(ids, "id", "left_semi")
+            e = (
+                e.join(ids.withColumnRenamed("id", "src"), "src", "left_semi")
+                .join(ids.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            )
+        if edges is not None:
+            e = e.join(edges.select("src", "dst"), ["src", "dst"], "left_semi")
+            endpoint_ids = (
+                edges.select(F.col("src").alias("id"))
+                .unionByName(edges.select(F.col("dst").alias("id")))
+                .distinct()
+            )
+            if nodes is None:
+                n = n.join(endpoint_ids, "id", "left_semi")
+        out = SparkPGFrame(n, e, directed=self.directed)
+        if remove_isolated_nodes:
+            out = out.remove_isolated_nodes()
+        return out
+
+    def remove_nodes(self, ids: DataFrame | Iterable[str]) -> "SparkPGFrame":
+        """Delete nodes and detach incident edges (core/io.py:906-913)."""
+        ids_df = _as_id_df(self._nodes.sparkSession, ids)
+        n = self._nodes.join(ids_df, "id", "left_anti")
+        e = (
+            self._edges.join(ids_df.withColumnRenamed("id", "src"), "src", "left_anti")
+            .join(ids_df.withColumnRenamed("id", "dst"), "dst", "left_anti")
+        )
+        return SparkPGFrame(n, e, directed=self.directed)
+
+    def remove_edges(self, pairs: DataFrame) -> "SparkPGFrame":
+        e = self._edges.join(pairs.select("src", "dst"), ["src", "dst"], "left_anti")
+        return SparkPGFrame(self._nodes, e, directed=self.directed)
+
+    def rename_nodes(self, mapping: DataFrame) -> "SparkPGFrame":
+        """Id remap on nodes and both edge endpoints (core/io.py:840-857).
+
+        ``mapping`` has columns (id, new_id); ids absent from the mapping
+        keep their name.
+        """
+        m = mapping.select("id", "new_id")
+        n = (
+            self._nodes.join(m, "id", "left")
+            .withColumn("id", F.coalesce("new_id", "id"))
+            .drop("new_id")
+        )
+        e = (
+            self._edges.join(m.withColumnRenamed("id", "src"), "src", "left")
+            .withColumn("src", F.coalesce("new_id", "src"))
+            .drop("new_id")
+            .join(m.withColumnRenamed("id", "dst"), "dst", "left")
+            .withColumn("dst", F.coalesce("new_id", "dst"))
+            .drop("new_id")
+        )
+        return SparkPGFrame(n, e, directed=self.directed)
+
+    # ---- properties (core/io.py:792-904) -------------------------------
+
+    def add_node_properties(self, props: DataFrame, merge_sets: bool = False) -> "SparkPGFrame":
+        """Left-join a property frame (id, <prop...>) onto nodes.
+
+        With ``merge_sets`` an existing array-typed column of the same name
+        is merged by set union (the reference merges category props as set
+        union, core/io.py:816-835) — new column wins otherwise.
+        """
+        new_cols = [c for c in props.columns if c != "id"]
+        n = self._nodes
+        for c in new_cols:
+            if c in n.columns:
+                if merge_sets:
+                    n = n.withColumnRenamed(c, f"__old_{c}")
+                else:
+                    n = n.drop(c)
+        n = n.join(props, "id", "left")
+        if merge_sets:
+            for c in new_cols:
+                old = f"__old_{c}"
+                if old in n.columns:
+                    n = n.withColumn(
+                        c,
+                        F.array_sort(
+                            F.array_union(
+                                F.coalesce(F.col(old), F.array()),
+                                F.coalesce(F.col(c), F.array()),
+                            )
+                        ),
+                    ).drop(old)
+        return SparkPGFrame(n, self._edges, directed=self.directed)
+
+    def add_edge_properties(self, props: DataFrame) -> "SparkPGFrame":
+        new_cols = [c for c in props.columns if c not in ("src", "dst")]
+        e = self._edges
+        for c in new_cols:
+            if c in e.columns:
+                e = e.drop(c)
+        e = e.join(props, ["src", "dst"], "left")
+        return SparkPGFrame(self._nodes, e, directed=self.directed)
+
+    def remove_node_properties(self, *cols: str) -> "SparkPGFrame":
+        return SparkPGFrame(self._nodes.drop(*cols), self._edges, directed=self.directed)
+
+    def remove_edge_properties(self, *cols: str) -> "SparkPGFrame":
+        return SparkPGFrame(self._nodes, self._edges.drop(*cols), directed=self.directed)
+
+    def rename_node_properties(self, mapping: dict[str, str]) -> "SparkPGFrame":
+        n = self._nodes
+        for a, b in mapping.items():
+            n = n.withColumnRenamed(a, b)
+        return SparkPGFrame(n, self._edges, directed=self.directed)
+
+    def rename_edge_properties(self, mapping: dict[str, str]) -> "SparkPGFrame":
+        e = self._edges
+        for a, b in mapping.items():
+            e = e.withColumnRenamed(a, b)
+        return SparkPGFrame(self._nodes, e, directed=self.directed)
+
+    # ---- aggregation (core/io.py:1091-1098; core/utils.py:43-56) -------
+
+    def aggregate_duplicate_nodes(self) -> "SparkPGFrame":
+        """Group duplicate ids; array props merged by sorted set-union, scalar
+        props by max (a deterministic stand-in for the reference's
+        singleton-unwrap-or-set merge — schemas stay stable in Spark)."""
+        aggs = []
+        for field in self._nodes.schema.fields:
+            if field.name == "id":
+                continue
+            if field.dataType.typeName() == "array":
+                aggs.append(
+                    F.array_sort(F.array_distinct(F.flatten(F.collect_list(field.name)))).alias(
+                        field.name
+                    )
+                )
+            else:
+                aggs.append(F.max(field.name).alias(field.name))
+        n = self._nodes.groupBy("id").agg(*aggs) if aggs else self._nodes.distinct()
+        return SparkPGFrame(n, self._edges, directed=self.directed)
+
+    # ---- structure metrics (core/io.py:610-615, 1069-1075, 1237-1252) --
+
+    def number_of_nodes(self) -> int:
+        return self._nodes.count()
+
+    def number_of_edges(self) -> int:
+        return self._edges.count()
+
+    def density(self) -> float:
+        """m / (n(n-1)) for directed, 2m / (n(n-1)) undirected
+        (core/io.py:610-615)."""
+        n = self.number_of_nodes()
+        m = self.number_of_edges()
+        if n < 2:
+            return 0.0
+        d = m / (n * (n - 1))
+        return d if self.directed else 2 * d
+
+    def endpoint_ids(self) -> DataFrame:
+        return (
+            self._edges.select(F.col("src").alias("id"))
+            .unionByName(self._edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+
+    def isolated_nodes(self) -> DataFrame:
+        """Nodes with no incident edges — anti-join instead of the
+        reference's O(n·m) loop (core/io.py:1237-1246)."""
+        return self._nodes.select("id").join(self.endpoint_ids(), "id", "left_anti")
+
+    def remove_isolated_nodes(self) -> "SparkPGFrame":
+        n = self._nodes.join(self.endpoint_ids(), "id", "left_semi")
+        return SparkPGFrame(n, self._edges, directed=self.directed)
+
+
+def _filter_typed(df: DataFrame, typed_by: str) -> DataFrame:
+    dtypes = dict(df.dtypes)
+    if "type" not in dtypes:
+        raise ValueError("frame has no 'type' property")
+    if dtypes["type"].startswith("array"):
+        return df.filter(F.array_contains("type", typed_by))
+    return df.filter(F.col("type") == typed_by)
+
+
+def _as_id_df(spark, ids) -> DataFrame:
+    if isinstance(ids, DataFrame):
+        return ids.select(F.col(ids.columns[0]).cast("string").alias("id")).distinct()
+    return spark.createDataFrame([(str(i),) for i in ids], "id string")

@@ -1,0 +1,179 @@
+"""Co-occurrence builder vs the reference fixtures.
+
+Expected values mirror
+/root/reference/tests/preprocess/test_co_occurrence_generators.py and the
+``mutual_information`` kernel
+(/root/reference/bluegraph/preprocess/generators.py:27-73), re-derived here
+as a tiny pure-Python oracle.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bluegraph_spark.operators.cooccurrence import (
+    cooccurrence_edges,
+    cooccurrence_edges_multiset,
+    occurrences_from_edges,
+    occurrences_from_node_property,
+)
+
+
+def mi_oracle(co, s, t, n, mitype=None):
+    """Pure-python replica of the reference mutual_information semantics."""
+    if co > 0:
+        if mitype == "normalized":
+            alpha = -math.log2(co / n)
+            mi = (math.log2((n * co) / (s * t)) / alpha) if alpha != 0 else 0
+        elif mitype == "expected":
+            mi = math.log2((n * co) / (s * t)) * (co / n)
+        elif mitype == "pmi2":
+            mi = math.log2(co**2 / (s * t))
+        elif mitype == "pmi3":
+            mi = math.log2(co**3 / (s * t * n))
+        else:
+            mi = math.log2((n * co) / (s * t))
+    else:
+        mi = 0
+    return mi if mi > 0 else 0
+
+
+@pytest.fixture(scope="module")
+def node_occurrences(spark):
+    # F2 fixture: test_co_occurrence_generators.py:7-30
+    nodes = spark.createDataFrame(
+        [("a", ["1", "2", "3", "4"]), ("b", ["1", "2", "3", "5"]), ("c", ["3", "4", "5", "6"])],
+        "id string, papers array<string>",
+    )
+    return occurrences_from_node_property(nodes, "id", "papers")
+
+
+def test_generation_from_nodes_frequency(spark, node_occurrences):
+    edges = cooccurrence_edges(node_occurrences, statistics=["frequency"])
+    got = {(r.src, r.dst): r.frequency for r in edges.collect()}
+    assert got == {("a", "b"): 3, ("b", "c"): 2, ("a", "c"): 2}
+
+
+def test_generation_from_nodes_npmi(spark, node_occurrences):
+    edges = cooccurrence_edges(
+        node_occurrences,
+        statistics=["frequency", "ppmi", "npmi"],
+        total_factor_instances=6,
+    )
+    rows = {(r.src, r.dst): r for r in edges.collect()}
+    freqs = {("a", "b"): 3, ("b", "c"): 2, ("a", "c"): 2}
+    for (s, t), co in freqs.items():
+        r = rows[(s, t)]
+        assert r.frequency == co
+        assert r.ppmi == pytest.approx(mi_oracle(co, 4, 4, 6), abs=1e-12)
+        assert r.npmi == pytest.approx(mi_oracle(co, 4, 4, 6, "normalized"), abs=1e-12)
+
+
+def test_total_factor_instances_default(spark, node_occurrences):
+    # default total = |union of factor sets| = 6 (generators.py:363-376)
+    edges = cooccurrence_edges(node_occurrences, statistics=["frequency", "npmi"])
+    explicit = cooccurrence_edges(
+        node_occurrences, statistics=["frequency", "npmi"], total_factor_instances=6
+    )
+    got = {(r.src, r.dst): r.npmi for r in edges.collect()}
+    want = {(r.src, r.dst): r.npmi for r in explicit.collect()}
+    assert got == pytest.approx(want)
+
+
+@pytest.fixture(scope="module")
+def typed_edges(spark):
+    # F3 fixture: test_co_occurrence_generators.py:33-75
+    return spark.createDataFrame(
+        [
+            ("a", "P1", "OccursIn"),
+            ("a", "P2", "OccursIn"),
+            ("a", "P3", "OccursIn"),
+            ("b", "P2", "OccursIn"),
+            ("b", "P3", "OccursIn"),
+            ("c", "P1", "OccursIn"),
+            ("c", "P3", "OccursIn"),
+        ],
+        "src string, dst string, type string",
+    )
+
+
+def test_generation_from_edges(spark, typed_edges):
+    occ = occurrences_from_edges(typed_edges, type_col="type", edge_type="OccursIn")
+    edges = cooccurrence_edges(occ, statistics=["frequency", "npmi"])
+    got = {(r.src, r.dst): r.frequency for r in edges.collect()}
+    assert got == {("a", "b"): 2, ("b", "c"): 1, ("a", "c"): 2}
+    # npmi with default total = 3 distinct targets
+    rows = {(r.src, r.dst): r for r in edges.collect()}
+    assert rows[("a", "b")].npmi == pytest.approx(
+        mi_oracle(2, 3, 2, 3, "normalized"), abs=1e-12
+    )
+
+
+def test_generation_from_edge_property_aggregator(spark):
+    # custom factor_aggregator = union of per-edge paragraph sets
+    # (test_co_occurrence_generators.py:77-103)
+    edges = [
+        ("a", "P1", ["1", "2", "3"]),
+        ("a", "P2", ["11", "22", "33"]),
+        ("a", "P3", ["111", "222", "333"]),
+        ("b", "P2", ["22", "33"]),
+        ("b", "P3", ["222", "333"]),
+        ("c", "P1", ["1", "3"]),
+        ("c", "P3", ["111", "333"]),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, paragraphs array<string>")
+    occ = df.select(F.col("src").alias("node"), F.explode("paragraphs").alias("factor"))
+    out = cooccurrence_edges(occ, statistics=["frequency", "ppmi", "npmi"])
+    got = {(r.src, r.dst): r.frequency for r in out.collect()}
+    assert got == {("a", "b"): 4, ("b", "c"): 1, ("a", "c"): 4}
+
+
+def test_common_factors_and_pruning(spark, node_occurrences):
+    edges = cooccurrence_edges(
+        node_occurrences,
+        statistics=["frequency", "npmi"],
+        total_factor_instances=6,
+        keep_common_factors=True,
+        min_frequency=2,
+    )
+    rows = {(r.src, r.dst): r for r in edges.collect()}
+    assert rows[("a", "b")].common_factors == ["1", "2", "3"]
+    assert rows[("a", "c")].common_factors == ["3", "4"]
+
+
+def test_multiset_intersection(spark):
+    # safe_intersection list branch (core/utils.py:59-74):
+    # [1,1,2,3] ∩ [1,1,1,2] = [1,1,2] → frequency 3
+    occ_counts = spark.createDataFrame(
+        [("x", "1", 2), ("x", "2", 1), ("x", "3", 1), ("y", "1", 3), ("y", "2", 1)],
+        "node string, factor string, cnt int",
+    )
+    out = cooccurrence_edges_multiset(occ_counts).collect()
+    assert len(out) == 1
+    assert out[0].src == "x" and out[0].dst == "y" and out[0].frequency == 3
+
+
+def test_salting_result_identical(spark):
+    # hub factor: one factor shared by 40 nodes, plus background factors
+    rows = [(f"n{i:03d}", "hub") for i in range(40)]
+    rows += [(f"n{i:03d}", f"f{i % 7}") for i in range(40)]
+    occ = spark.createDataFrame(rows, "node string, factor string")
+    plain = cooccurrence_edges(occ, statistics=["frequency"]).collect()
+    salted = cooccurrence_edges(
+        occ, statistics=["frequency"], salt=4, salt_threshold=10
+    ).collect()
+    assert sorted((r.src, r.dst, r.frequency) for r in plain) == sorted(
+        (r.src, r.dst, r.frequency) for r in salted
+    )
+
+
+def test_factor_freq_cap(spark):
+    rows = [(f"n{i}", "stopword") for i in range(10)] + [
+        ("n0", "rare"),
+        ("n1", "rare"),
+    ]
+    occ = spark.createDataFrame(rows, "node string, factor string")
+    edges = cooccurrence_edges(occ, statistics=["frequency"], factor_freq_cap=5)
+    got = {(r.src, r.dst): r.frequency for r in edges.collect()}
+    assert got == {("n0", "n1"): 1}
