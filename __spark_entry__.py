@@ -1,38 +1,687 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an operator of the bluegraph_spark engine run
+over graphs/tables derived deterministically from the driver's parquet
+tables; ``oracle_sql()`` holds the equivalent DuckDB SQL (iterative
+algorithms are unrolled to a fixed superstep count so they stay
+SQL-expressible — the engine runs the same fixed iteration count via
+``tol=0`` / ``max_iter``).
+
+Graph derivations (all from the star schema, mirroring the reference's
+terms-co-occur-in-papers semantics, SURVEY.md §2.4):
+- part graph: parts co-occur when ordered together (node=l_partkey,
+  factor=l_orderkey);
+- supplier graph: suppliers co-occur when supplying the same part;
+- order chain graph: consecutive orders of one customer form a path.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+ALPHA = 0.85
+PR_ITERS = 5
+LPA_ITERS = 3
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _part_occ(spark, sf_dir):
+    from bluegraph_spark.operators.cooccurrence import occurrences_from_edges
+
+    return occurrences_from_edges(
+        _t(spark, sf_dir, "lineitem"), src_col="l_partkey", dst_col="l_orderkey"
+    )
+
+
+def _part_edges(spark, sf_dir, statistics=("frequency",)):
+    from bluegraph_spark.operators.cooccurrence import cooccurrence_edges
+
+    return cooccurrence_edges(_part_occ(spark, sf_dir), statistics=list(statistics))
+
+
+def _supplier_edges(spark, sf_dir):
+    from bluegraph_spark.operators.cooccurrence import (
+        cooccurrence_edges,
+        occurrences_from_edges,
+    )
+
+    occ = occurrences_from_edges(
+        _t(spark, sf_dir, "lineitem"), src_col="l_suppkey", dst_col="l_partkey"
+    )
+    return cooccurrence_edges(occ, statistics=["frequency"])
+
+
+def _order_chain(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return (
+        o.select(
+            F.col("o_orderkey").cast("string").alias("dst"),
+            F.lag(F.col("o_orderkey").cast("string")).over(w).alias("src"),
+        )
+        .filter("src is not null")
+    )
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_cooc_parts_freq(spark, sf_dir):
+    return _part_edges(spark, sf_dir).select(
+        "src", "dst", F.col("frequency").cast("long").alias("frequency")
+    )
+
+
+def q_cooc_parts_npmi(spark, sf_dir):
+    e = _part_edges(spark, sf_dir, ["frequency", "ppmi", "npmi"])
+    return e.select(
+        "src",
+        "dst",
+        F.col("frequency").cast("long").alias("frequency"),
+        F.round("ppmi", 8).alias("ppmi"),
+        F.round("npmi", 8).alias("npmi"),
+    )
+
+
+def q_pagerank_parts(spark, sf_dir):
+    from bluegraph_spark.operators.pagerank import pagerank
+
+    edges = _part_edges(spark, sf_dir)
+    res = pagerank(
+        edges, weight_col="frequency", alpha=ALPHA, tol=0.0, max_iter=PR_ITERS
+    )
+    return res.ranks.select("id", F.round("rank", 8).alias("rank"))
+
+
+def q_cc_orders(spark, sf_dir):
+    from bluegraph_spark.operators.components import connected_components
+
+    o = _t(spark, sf_dir, "orders")
+    res = connected_components(
+        _order_chain(spark, sf_dir),
+        nodes=o.select(F.col("o_orderkey").cast("string").alias("id")),
+    )
+    return res.components.select("id", "component")
+
+
+def q_lpa_suppliers(spark, sf_dir):
+    from bluegraph_spark.operators.lpa import label_propagation
+
+    res = label_propagation(
+        _supplier_edges(spark, sf_dir), weight_col="frequency", max_iter=LPA_ITERS
+    )
+    return res.labels.select("id", "label")
+
+
+def q_triangles_parts(spark, sf_dir):
+    from bluegraph_spark.operators.triangles import triangle_counts
+
+    return triangle_counts(_part_edges(spark, sf_dir)).select(
+        "id", F.col("triangles").cast("long").alias("triangles")
+    )
+
+
+def q_degree_parts(spark, sf_dir):
+    from bluegraph_spark.operators.metrics import degree_centrality
+
+    return degree_centrality(
+        _part_edges(spark, sf_dir), weight_col="frequency"
+    ).select("id", F.round("degree", 6).alias("degree"))
+
+
+def q_density_parts(spark, sf_dir):
+    from bluegraph_spark.operators.metrics import density
+
+    d = density(_part_edges(spark, sf_dir))
+    return spark.createDataFrame([(round(d, 10),)], "density double")
+
+
+def q_top_neighbors_parts(spark, sf_dir):
+    from bluegraph_spark.operators.paths import top_neighbors
+
+    return top_neighbors(
+        _part_edges(spark, sf_dir), n=5, weight_col="frequency"
+    ).select(
+        "id",
+        "neighbor",
+        F.col("weight").cast("long").alias("frequency"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_modularity_suppliers(spark, sf_dir):
+    from bluegraph_spark.operators.metrics import modularity
+
+    labels = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("string").alias("id"),
+        F.col("s_nationkey").cast("string").alias("community"),
+    )
+    q = modularity(_supplier_edges(spark, sf_dir), labels, weight_col="frequency")
+    return spark.createDataFrame([(round(q, 10),)], "modularity double")
+
+
+def q_isolated_orders(spark, sf_dir):
+    from bluegraph_spark.pgframe import SparkPGFrame
+
+    o = _t(spark, sf_dir, "orders")
+    pg = SparkPGFrame(
+        o.select(F.col("o_orderkey").cast("string").alias("id")),
+        _order_chain(spark, sf_dir),
+    )
+    return pg.isolated_nodes().select("id")
+
+
+def q_dedup_exact_docs(spark, sf_dir):
+    from bluegraph_spark.operators.dedup import exact_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_duplicates(d, "doc_id", "text").select(
+        "content_hash",
+        F.col("n_copies").cast("long").alias("n_copies"),
+        F.col("keep_id").cast("long").alias("keep_id"),
+    )
+
+
+def q_ngram_jaccard_docs(spark, sf_dir):
+    from bluegraph_spark.operators.dedup import jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("jaccard", 8).alias("jaccard"),
+    )
+
+
+def q_minhash_docs(spark, sf_dir):
+    from bluegraph_spark.operators.dedup import minhash_dedup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(
+        d, "doc_id", "text", n=3, num_hashes=8, bands=4, threshold=0.2
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("jaccard", 8).alias("jaccard"),
+    )
+
+
+def q_ann_cosine_docs(spark, sf_dir):
+    from bluegraph_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb.filter("vec_id < 50"), emb, k=5).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_text_stats_docs(spark, sf_dir):
+    from bluegraph_spark.functions.text import (
+        distinct_token_count,
+        fingerprint,
+        mean_token_length,
+        punct_ratio,
+        token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        distinct_token_count("text").alias("n_distinct"),
+        F.round(mean_token_length("text"), 8).alias("mean_tok_len"),
+        F.round(punct_ratio("text"), 8).alias("punct_ratio"),
+        fingerprint("text").alias("fingerprint"),
+    )
+
+
+def q_langid_docs(spark, sf_dir):
+    from bluegraph_spark.functions.text import langid_col
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", langid_col("text").alias("pred_lang"))
+
+
+def q_sha256_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.sha2(F.col("text"), 256).alias("sha"))
+
+
+def q_user_top_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    agg = e.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total_value")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter("rank <= 3")
+        .select("user_id", "event_type", "n", "total_value", "rank")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: part co-occurrence graph at sf0.001 → weighted PageRank to
+    convergence → scores joined with degree."""
+    from bluegraph_spark.operators.metrics import degree_centrality
+    from bluegraph_spark.operators.pagerank import pagerank
+
+    sf_dir = "/root/testdata/sf0.001"
+    edges = _part_edges(spark, sf_dir)
+    res = pagerank(edges, weight_col="frequency")
+    deg = degree_centrality(edges, weight_col="frequency")
+    return (
+        res.ranks.join(deg, "id")
+        .select("id", F.round("rank", 8).alias("rank"), F.round("degree", 6).alias("degree"))
+        .orderBy(F.desc("rank"), "id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "cooc_parts_freq": q_cooc_parts_freq,
+        "cooc_parts_npmi": q_cooc_parts_npmi,
+        "pagerank_parts": q_pagerank_parts,
+        "cc_orders": q_cc_orders,
+        "lpa_suppliers": q_lpa_suppliers,
+        "triangles_parts": q_triangles_parts,
+        "degree_parts": q_degree_parts,
+        "density_parts": q_density_parts,
+        "top_neighbors_parts": q_top_neighbors_parts,
+        "modularity_suppliers": q_modularity_suppliers,
+        "isolated_orders": q_isolated_orders,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "ngram_jaccard_docs": q_ngram_jaccard_docs,
+        "minhash_docs": q_minhash_docs,
+        "ann_cosine_docs": q_ann_cosine_docs,
+        "text_stats_docs": q_text_stats_docs,
+        "langid_docs": q_langid_docs,
+        "sha256_docs": q_sha256_docs,
+        "user_top_events": q_user_top_events,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+_PART_OCC = """
+occ AS (
+  SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS node,
+                  CAST(l_orderkey AS VARCHAR) AS factor
+  FROM lineitem
+)"""
+
+_PART_PAIRS = """
+pairs AS (
+  SELECT a.node AS src, b.node AS dst, count(*) AS frequency
+  FROM occ a JOIN occ b ON a.factor = b.factor AND a.node < b.node
+  GROUP BY 1, 2
+)"""
+
+_SUPP_OCC = """
+occ AS (
+  SELECT DISTINCT CAST(l_suppkey AS VARCHAR) AS node,
+                  CAST(l_partkey AS VARCHAR) AS factor
+  FROM lineitem
+)"""
+
+
+def _mi_sql() -> str:
+    """frequency/ppmi/npmi with the exact reference clamping semantics."""
+    return f"""
+WITH {_PART_OCC}, {_PART_PAIRS},
+nf AS (SELECT node, count(*) AS f FROM occ GROUP BY 1),
+tot AS (SELECT CAST(count(DISTINCT factor) AS DOUBLE) AS n FROM occ),
+mi AS (
+  SELECT p.src, p.dst, p.frequency,
+         log2((t.n * p.frequency) / (s.f * d.f)) AS pmi,
+         -log2(p.frequency / t.n) AS alpha
+  FROM pairs p
+  JOIN nf s ON s.node = p.src
+  JOIN nf d ON d.node = p.dst
+  CROSS JOIN tot t
+)
+SELECT src, dst, CAST(frequency AS BIGINT) AS frequency,
+       ROUND(CASE WHEN pmi > 0 THEN pmi ELSE 0 END, 8) AS ppmi,
+       ROUND(CASE WHEN alpha = 0 THEN 0
+                  WHEN pmi / alpha > 0 THEN pmi / alpha
+                  ELSE 0 END, 8) AS npmi
+FROM mi
+"""
+
+
+def _pagerank_sql(iters: int = PR_ITERS, alpha: float = ALPHA) -> str:
+    pieces = [
+        f"WITH {_PART_OCC}, {_PART_PAIRS},",
+        """
+sym AS (
+  SELECT src, dst, CAST(frequency AS DOUBLE) AS w FROM pairs
+  UNION ALL
+  SELECT dst, src, CAST(frequency AS DOUBLE) FROM pairs
+),
+v AS (SELECT DISTINCT src AS id FROM sym),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+outw AS (SELECT src, sum(w) AS ow FROM sym GROUP BY 1),
+norm AS (SELECT e.src, e.dst, e.w / o.ow AS p FROM sym e JOIN outw o ON e.src = o.src),
+r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM v)""",
+    ]
+    for k in range(1, iters + 1):
+        pieces.append(
+            f""",
+c{k} AS (
+  SELECT e.dst AS id, sum(e.p * r.rank) AS s
+  FROM norm e JOIN r{k - 1} r ON e.src = r.id GROUP BY 1
+),
+r{k} AS (
+  SELECT v.id,
+         {alpha} * COALESCE(c.s, 0) + (1.0 - {alpha}) / (SELECT n FROM nn) AS rank
+  FROM v LEFT JOIN c{k} c ON v.id = c.id
+)"""
+        )
+    pieces.append(f"\nSELECT id, ROUND(rank, 8) AS rank FROM r{iters}")
+    return "".join(pieces)
+
+
+def _lpa_sql(iters: int = LPA_ITERS) -> str:
+    pieces = [
+        f"WITH {_SUPP_OCC},",
+        """
+pairs AS (
+  SELECT a.node AS src, b.node AS dst, count(*) AS frequency
+  FROM occ a JOIN occ b ON a.factor = b.factor AND a.node < b.node
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT src, dst, CAST(frequency AS DOUBLE) AS w FROM pairs
+  UNION ALL
+  SELECT dst, src, CAST(frequency AS DOUBLE) FROM pairs
+),
+v AS (SELECT DISTINCT src AS id FROM sym),
+l0 AS (SELECT id, id AS label FROM v)""",
+    ]
+    for k in range(1, iters + 1):
+        pieces.append(
+            f""",
+s{k} AS (
+  SELECT e.dst AS id, l.label, sum(e.w) AS s
+  FROM sym e JOIN l{k - 1} l ON e.src = l.id GROUP BY 1, 2
+),
+b{k} AS (
+  SELECT id, label FROM (
+    SELECT id, label,
+           row_number() OVER (PARTITION BY id ORDER BY s DESC, label ASC) AS rn
+    FROM s{k}
+  ) WHERE rn = 1
+),
+l{k} AS (
+  SELECT l.id, COALESCE(b.label, l.label) AS label
+  FROM l{k - 1} l LEFT JOIN b{k} b ON l.id = b.id
+)"""
+        )
+    pieces.append(f"\nSELECT id, label FROM l{iters}")
+    return "".join(pieces)
+
+
+_DOC_TOKS = """
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+)"""
+
+_DOC_SHINGLES = """
+sh AS (
+  SELECT DISTINCT doc_id,
+         g AS shingle
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(t) - 2, 0) + 1),
+             i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+           )) AS g
+    FROM toks
+  )
+)"""
+
+
+def _jaccard_sql(threshold: float = 0.2) -> str:
+    return f"""
+WITH {_DOC_TOKS}, {_DOC_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 8) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= {threshold}
+"""
+
+
+def _minhash_sql(num_hashes: int = 8, bands: int = 4, threshold: float = 0.2) -> str:
+    r = num_hashes // bands
+    sig_cols = ", ".join(
+        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(num_hashes)
+    )
+    band_keys = ", ".join(
+        "md5(" + " || '|' || ".join(f"h{b * r + j}" for j in range(r)) + f") AS k{b}"
+        for b in range(bands)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, k{b} AS key FROM bands" for b in range(bands)
+    )
+    return f"""
+WITH {_DOC_TOKS}, {_DOC_SHINGLES},
+sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+bands AS (SELECT doc_id, {band_keys} FROM sig),
+band_rows AS ({band_union}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM band_rows a JOIN band_rows b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 8) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= {threshold}
+"""
+
+
+def _langid_sql() -> str:
+    from bluegraph_spark.functions.text import LANG_MARKERS
+
+    score_cols = []
+    for lang in sorted(LANG_MARKERS):
+        lst = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        score_cols.append(
+            f"len(list_filter(t, x -> x IN ({lst}))) AS s_{lang}"
+        )
+    langs = sorted(LANG_MARKERS)
+    mx = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = "CASE WHEN " + mx + " <= 0 THEN 'und' " + " ".join(
+        f"WHEN s_{l} = {mx} THEN '{l}'" for l in langs
+    ) + " END"
+    return f"""
+WITH {_DOC_TOKS},
+scores AS (SELECT doc_id, {", ".join(score_cols)} FROM toks)
+SELECT doc_id, {case} AS pred_lang FROM scores
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cooc_parts_freq": f"""
+WITH {_PART_OCC}, {_PART_PAIRS}
+SELECT src, dst, CAST(frequency AS BIGINT) AS frequency FROM pairs
+""",
+        "cooc_parts_npmi": _mi_sql(),
+        "pagerank_parts": _pagerank_sql(),
+        "cc_orders": """
+SELECT CAST(o_orderkey AS VARCHAR) AS id,
+       min(CAST(o_orderkey AS VARCHAR)) OVER (PARTITION BY o_custkey) AS component
+FROM orders
+""",
+        "lpa_suppliers": _lpa_sql(),
+        "triangles_parts": f"""
+WITH {_PART_OCC}, {_PART_PAIRS},
+e AS (SELECT src AS a, dst AS b FROM pairs),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+),
+v AS (SELECT a AS id FROM e UNION SELECT b FROM e)
+SELECT v.id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS triangles
+FROM v LEFT JOIN (SELECT id, count(*) AS cnt FROM corners GROUP BY 1) c USING (id)
+""",
+        "degree_parts": f"""
+WITH {_PART_OCC}, {_PART_PAIRS},
+ends AS (
+  SELECT src AS id, CAST(frequency AS DOUBLE) AS w FROM pairs
+  UNION ALL SELECT dst, CAST(frequency AS DOUBLE) FROM pairs
+)
+SELECT id, ROUND(sum(w), 6) AS degree FROM ends GROUP BY 1
+""",
+        "density_parts": f"""
+WITH {_PART_OCC}, {_PART_PAIRS},
+v AS (SELECT src AS id FROM pairs UNION SELECT dst FROM pairs),
+c AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM pairs)
+SELECT ROUND(2.0 * m.m / (c.n * (c.n - 1)), 10) AS density FROM c, m
+""",
+        "top_neighbors_parts": f"""
+WITH {_PART_OCC}, {_PART_PAIRS},
+sym AS (
+  SELECT src, dst, frequency FROM pairs
+  UNION ALL SELECT dst, src, frequency FROM pairs
+),
+ranked AS (
+  SELECT src AS id, dst AS neighbor, CAST(frequency AS BIGINT) AS frequency,
+         row_number() OVER (PARTITION BY src ORDER BY frequency DESC, dst ASC) AS rank
+  FROM sym
+)
+SELECT id, neighbor, frequency, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+        "modularity_suppliers": f"""
+WITH {_SUPP_OCC},
+pairs AS (
+  SELECT a.node AS src, b.node AS dst, CAST(count(*) AS DOUBLE) AS w
+  FROM occ a JOIN occ b ON a.factor = b.factor AND a.node < b.node
+  GROUP BY 1, 2
+),
+lab AS (SELECT CAST(s_suppkey AS VARCHAR) AS id, CAST(s_nationkey AS VARCHAR) AS c FROM supplier),
+el AS (
+  SELECT p.w, ls.c AS cs, ld.c AS ct
+  FROM pairs p JOIN lab ls ON ls.id = p.src JOIN lab ld ON ld.id = p.dst
+),
+m AS (SELECT sum(w) AS m FROM el),
+dsum AS (
+  SELECT c, sum(w) AS d FROM (
+    SELECT cs AS c, w FROM el UNION ALL SELECT ct, w FROM el
+  ) GROUP BY 1
+),
+intra AS (SELECT cs AS c, sum(w) AS e FROM el WHERE cs = ct GROUP BY 1)
+SELECT ROUND(sum(COALESCE(i.e, 0) / m.m - (d.d / (2 * m.m)) * (d.d / (2 * m.m))), 10) AS modularity
+FROM dsum d LEFT JOIN intra i USING (c), m
+""",
+        "isolated_orders": """
+SELECT CAST(o_orderkey AS VARCHAR) AS id
+FROM orders
+QUALIFY count(*) OVER (PARTITION BY o_custkey) = 1
+""",
+        "dedup_exact_docs": """
+SELECT md5(text) AS content_hash,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(min(doc_id) AS BIGINT) AS keep_id
+FROM documents GROUP BY 1
+""",
+        "ngram_jaccard_docs": _jaccard_sql(),
+        "minhash_docs": _minhash_sql(),
+        "ann_cosine_docs": """
+WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1),
+dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, sum(a.x * b.x) AS dot
+  FROM flat a JOIN flat b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+  WHERE a.vec_id < 50
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id, d.dot / (na.nrm * nb.nrm) AS cosine
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.query_id
+  JOIN norms nb ON nb.vec_id = d.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       ROUND(cosine, 6) AS cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+        "text_stats_docs": f"""
+WITH {_DOC_TOKS}
+SELECT d.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(t.t)) AS BIGINT) AS n_distinct,
+       ROUND(CAST(list_sum(list_transform(t.t, x -> length(x))) AS DOUBLE)
+             / greatest(len(t.t), 1), 8) AS mean_tok_len,
+       ROUND(CAST(length(d.text) - length(regexp_replace(d.text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+             / greatest(length(d.text), 1), 8) AS punct_ratio,
+       md5(array_to_string(list_sort(list_distinct(t.t)), ' ')) AS fingerprint
+FROM documents d JOIN toks t USING (doc_id)
+""",
+        "langid_docs": _langid_sql(),
+        "sha256_docs": "SELECT doc_id, sha256(text) AS sha FROM documents",
+        "user_top_events": """
+WITH agg AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+         ROUND(sum(value), 6) AS total_value
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type ASC) AS rank
+  FROM agg
+)
+SELECT user_id, event_type, n, total_value, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+""",
+    }

@@ -1,0 +1,245 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, scale-ranked:
+- exact: hash-groupBy on content digest — one shuffle, no joins;
+- fingerprint: same, on the sorted-distinct-token md5 (bag-of-words exact);
+- n-gram Jaccard: shingle explode + self-join — exact near-dup at small
+  candidate density;
+- MinHash + LSH: constant-size signatures + banding so the self-join is on
+  band buckets instead of raw shingles — the 100 TB path. Signatures use
+  lexicographic minima of seeded md5 hex digests, which are deterministic,
+  engine-portable (the DuckDB oracle computes the identical signature), and
+  uniform enough for Jaccard estimation;
+- SimHash: 64-bit near-dup signature with banded candidate generation and
+  Hamming-distance verification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bluegraph_spark.functions.text import simhash64, tokens_col, hamming64
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(content_hash, n_copies, keep_id, duplicate_ids): md5-groupBy exact
+    dedup; keep_id = min id per group."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("id").alias("keep_id"),
+            F.sort_array(F.collect_list("id")).alias("ids"),
+        )
+    )
+
+
+def word_shingles(text_col, n: int = 3):
+    """Distinct word n-gram array from a text column (codegen, no Python)."""
+    toks = tokens_col(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    return F.array_distinct(grams)
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    shingle_freq_cap: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, jaccard): exact n-gram Jaccard over all pairs sharing at
+    least one shingle. ``shingle_freq_cap`` drops stopword-like shingles
+    (same skew story as co-occurrence factors)."""
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    if shingle_freq_cap is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("_fc"))
+        sh = sh.join(freq.filter(F.col("_fc") <= shingle_freq_cap), "shingle").drop("_fc")
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signature(text_col, n: int = 3, num_hashes: int = 8):
+    """Array of ``num_hashes`` MinHash values: element i = lexicographic min
+    of md5(i || shingle) over the document's shingles."""
+    grams = word_shingles(text_col, n)
+    sigs = [
+        F.array_min(F.transform(grams, lambda g: F.md5(F.concat(F.lit(str(i) + "|"), g))))
+        for i in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """(id_a, id_b) candidate near-dup pairs: same MinHash band in ≥1 band.
+
+    bands must divide num_hashes; rows-per-band r = num_hashes/bands gives
+    the usual S-curve threshold ≈ (1/bands)^(1/r).
+    """
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    r = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), n, num_hashes).alias("sig"),
+    )
+    band_rows = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws("|", *[F.col("sig")[b * r + j] for j in range(r)])
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard ≥ threshold."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands)
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    sha = sh.select(F.col("id").alias("id_a"), "shingle")
+    shb = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        cands.join(sha, "id_a")
+        .join(shb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """(id_a, id_b, hamming): near-dup pairs by 64-bit SimHash.
+
+    Banding: two docs within Hamming distance < chunks must agree exactly on
+    ≥1 of the ``chunks`` 16-bit chunks (pigeonhole), so candidates come from
+    an equi-join on (chunk_index, chunk_value), then exact Hamming verify.
+    """
+    width = 64 // chunks
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        simhash64(tokens_col(F.col(text_col))).alias("sig"),
+    )
+    chunked = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("sig", c * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("val"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("cv"),
+    ).select("id", "sig", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
+    a, b = chunked.alias("a"), chunked.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

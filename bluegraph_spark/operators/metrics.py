@@ -1,0 +1,159 @@
+"""Graph metrics: degree, density, partition quality (modularity et al.).
+
+Reference semantics:
+- degree centrality = **raw (weighted) degree** ``dict(G.degree(weight=w))``
+  — not normalized nx.degree_centrality
+  (/root/reference/bluegraph/backends/networkx/analyse/metrics.py:29-34).
+- modularity = ``community_louvain.modularity(partition, G, weight)``
+  (/root/reference/bluegraph/backends/networkx/analyse/communities.py:121-123):
+  Q = Σ_c [ e_c/m − (d_c/2m)² ] over communities, with m the total edge
+  weight, e_c the intra-community weight, d_c the community degree sum —
+  closed-form over the edge table, one groupBy.
+- coverage = intra-community edge weight fraction
+  (backends/networkx/analyse/communities.py:128-129).
+- performance = fraction of node pairs classified correctly (intra pairs
+  joined by an edge + inter pairs not joined)
+  (backends/networkx/analyse/communities.py:125-126) — closed form from
+  per-community sizes and intra-edge counts (unweighted, as in nx).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bluegraph_spark.pgframe import symmetrize_edges
+
+
+def degree_centrality(
+    edges: DataFrame,
+    weight_col: str | None = None,
+    nodes: DataFrame | None = None,
+    directed: bool = False,
+) -> DataFrame:
+    """(id, degree): weighted degree sum; undirected self-loops count twice
+    (NetworkX G.degree semantics)."""
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    e = edges.select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+        w.alias("w"),
+    )
+    # count both endpoints (self-loop contributes twice in nx undirected)
+    ends = e.select(F.col("src").alias("id"), "w").unionByName(
+        e.select(F.col("dst").alias("id"), "w")
+    )
+    deg = ends.groupBy("id").agg(F.sum("w").alias("degree"))
+    if nodes is not None:
+        vs = nodes.select(F.col(nodes.columns[0]).cast("string").alias("id")).distinct()
+        deg = vs.join(deg, "id", "left").select(
+            "id", F.coalesce("degree", F.lit(0.0)).alias("degree")
+        )
+    return deg
+
+
+def density(edges: DataFrame, nodes: DataFrame | None = None, directed: bool = False) -> float:
+    """m / (n(n-1)), doubled when undirected (reference core/io.py:610-615)."""
+    e = edges.select(
+        F.col("src").cast("string").alias("src"), F.col("dst").cast("string").alias("dst")
+    )
+    if nodes is None:
+        n = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+            .count()
+        )
+    else:
+        n = nodes.select(nodes.columns[0]).distinct().count()
+    m = e.count()
+    if n < 2:
+        return 0.0
+    d = m / (n * (n - 1))
+    return d if directed else 2 * d
+
+
+def _edges_with_labels(edges: DataFrame, labels: DataFrame, weight_col: str | None):
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    e = edges.select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+        w.alias("w"),
+    )
+    lab = labels.select(
+        F.col(labels.columns[0]).cast("string").alias("id"),
+        F.col(labels.columns[1]).cast("string").alias("community"),
+    )
+    return (
+        e.join(lab.withColumnRenamed("id", "src").withColumnRenamed("community", "_cs"), "src")
+        .join(lab.withColumnRenamed("id", "dst").withColumnRenamed("community", "_ct"), "dst")
+    ), lab
+
+
+def modularity(
+    edges: DataFrame, labels: DataFrame, weight_col: str | None = None
+) -> float:
+    """Newman modularity of a partition over an undirected edge table.
+
+    Self-loops follow the standard convention (count once in m, twice in
+    their endpoint's degree).
+    """
+    el, _ = _edges_with_labels(edges, labels, weight_col)
+    el = el.withColumn("_intra", F.col("_cs") == F.col("_ct"))
+    m_row = el.agg(F.sum("w").alias("m")).collect()[0]
+    m = float(m_row["m"] or 0.0)
+    if m == 0:
+        return 0.0
+    # community degree sums (each edge contributes w to both endpoints)
+    dsum = (
+        el.select(F.col("_cs").alias("c"), "w")
+        .unionByName(el.select(F.col("_ct").alias("c"), "w"))
+        .groupBy("c")
+        .agg(F.sum("w").alias("d"))
+    )
+    intra = el.filter("_intra").groupBy(F.col("_cs").alias("c")).agg(F.sum("w").alias("e"))
+    per_c = dsum.join(intra, "c", "left").select(
+        (
+            F.coalesce("e", F.lit(0.0)) / m
+            - (F.col("d") / (2.0 * m)) * (F.col("d") / (2.0 * m))
+        ).alias("q")
+    )
+    return float(per_c.agg(F.sum("q")).collect()[0][0] or 0.0)
+
+
+def coverage(edges: DataFrame, labels: DataFrame, weight_col: str | None = None) -> float:
+    """Intra-community edge weight fraction."""
+    el, _ = _edges_with_labels(edges, labels, weight_col)
+    row = el.agg(
+        F.sum("w").alias("total"),
+        F.sum(F.when(F.col("_cs") == F.col("_ct"), F.col("w")).otherwise(0.0)).alias("intra"),
+    ).collect()[0]
+    total = float(row["total"] or 0.0)
+    return (float(row["intra"] or 0.0) / total) if total else 0.0
+
+
+def performance(edges: DataFrame, labels: DataFrame) -> float:
+    """Fraction of correctly classified node pairs (nx quality.performance,
+    unweighted): (intra-edges + inter-non-edges) / C(n,2)."""
+    el, lab = _edges_with_labels(edges, labels, None)
+    n = lab.count()
+    if n < 2:
+        return 1.0
+    total_pairs = n * (n - 1) / 2
+    sizes = lab.groupBy("community").agg(F.count("*").alias("s"))
+    intra_pairs = float(
+        sizes.agg(F.sum(F.col("s") * (F.col("s") - 1) / 2)).collect()[0][0] or 0.0
+    )
+    row = (
+        el.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.when(F.col("_cs") == F.col("_ct"), 1).otherwise(0).alias("i"),
+            F.lit(1).alias("one"),
+        )
+        .agg(F.sum("i").alias("intra_e"), F.sum("one").alias("m"))
+        .collect()[0]
+    )
+    intra_e = float(row["intra_e"] or 0.0)
+    m = float(row["m"] or 0.0)
+    inter_non_edges = (total_pairs - intra_pairs) - (m - intra_e)
+    return (intra_e + inter_non_edges) / total_pairs

@@ -1,0 +1,140 @@
+"""Dedup + similarity operators: exact small-case semantics and oracles."""
+
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bluegraph_spark.operators.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_dedup_pairs,
+    minhash_lsh_candidates,
+    simhash_pairs,
+)
+from bluegraph_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),
+    (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (4, "completely different words entirely here now folks"),
+    (5, "the quick brown fox leaps over the lazy dog"),
+]
+
+
+def py_shingles(text, n=3):
+    toks = text.lower().split()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def py_jaccard(a, b, n=3):
+    sa, sb = py_shingles(a, n), py_shingles(b, n)
+    return len(sa & sb) / len(sa | sb)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs):
+    groups = {r.keep_id: r for r in exact_duplicates(docs, "doc_id", "text").collect()}
+    dup = [r for r in groups.values() if r.n_copies > 1]
+    assert len(dup) == 1 and dup[0].ids == [1, 3]
+
+
+def test_jaccard_pairs_exact(spark, docs):
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.0).collect()
+    }
+    for (ia, ta), (ib, tb) in itertools.combinations(DOCS, 2):
+        want = py_jaccard(ta, tb)
+        if want > 0:
+            assert got[(ia, ib)] == pytest.approx(want, abs=1e-12)
+        else:
+            assert (ia, ib) not in got
+
+
+def test_minhash_finds_exact_dup_and_verifies(spark, docs):
+    cands = {
+        (r.id_a, r.id_b) for r in minhash_lsh_candidates(docs, "doc_id", "text").collect()
+    }
+    assert (1, 3) in cands  # identical docs always collide in every band
+    verified = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert verified[(1, 3)] == pytest.approx(1.0)
+    for (a, b), j in verified.items():
+        assert j == pytest.approx(py_jaccard(DOCS[a - 1][1], DOCS[b - 1][1]), abs=1e-12)
+
+
+def test_simhash_near_dups(spark, docs):
+    got = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(docs, "doc_id", "text", max_hamming=16).collect()}
+    assert got.get((1, 3)) == 0  # identical => identical signatures
+    assert (1, 4) not in got or got[(1, 4)] > 12  # unrelated docs are far
+
+
+def rng_vectors(n, dim=16, seed=7):
+    """Clustered vectors: LSH recall is only meaningful when true neighbors
+    are actually close (random gaussians are near-orthogonal by design)."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(8, dim))
+    out = []
+    for i in range(n):
+        c = centers[i % 8]
+        out.append((i, (c + 0.15 * rng.normal(size=dim)).astype("float32").tolist()))
+    return out
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    return spark.createDataFrame(
+        rng_vectors(40), "vec_id long, embedding array<float>"
+    )
+
+
+def py_topk(vecs, k):
+    arr = {i: np.array(v, dtype=np.float64) for i, v in vecs}
+    out = {}
+    for i in arr:
+        sims = sorted(
+            (
+                (-float(arr[i] @ arr[j] / (np.linalg.norm(arr[i]) * np.linalg.norm(arr[j]))), j)
+                for j in arr
+                if j != i
+            ),
+        )[:k]
+        out[i] = [(j, -s) for s, j in sims]
+    return out
+
+
+def test_cosine_topk_exact(spark, vectors):
+    got = {}
+    for r in cosine_topk(vectors, vectors, 3).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.cosine))
+    want = py_topk(rng_vectors(40), 3)
+    for q, rows in got.items():
+        rows.sort()
+        for (rank, nid, cos), (wnid, wcos) in zip(rows, want[q]):
+            assert nid == wnid
+            assert cos == pytest.approx(wcos, abs=1e-9)
+
+
+def test_lsh_recall_reasonable(spark, vectors):
+    exact = py_topk(rng_vectors(40), 3)
+    approx = {}
+    for r in lsh_cosine_topk(vectors, vectors, 3, planes=8, tables=4).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(
+        len(approx.get(q, set()) & {j for j, _ in exact[q]}) for q in exact
+    )
+    total = sum(len(exact[q]) for q in exact)
+    assert hits / total > 0.5  # approximate path finds most true neighbors
+    # and every returned cosine is exact (verified in-bucket)
+    for r in lsh_cosine_topk(vectors, vectors, 1, planes=8, tables=4).collect():
+        assert -1.0 - 1e-9 <= r.cosine <= 1.0 + 1e-9
