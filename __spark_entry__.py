@@ -270,6 +270,149 @@ def q_user_top_events(spark, sf_dir):
     )
 
 
+def q_cooc_multiset_supp(spark, sf_dir):
+    from bluegraph_spark.operators.cooccurrence import cooccurrence_edges_multiset
+
+    li = _t(spark, sf_dir, "lineitem")
+    occ = li.groupBy(
+        F.col("l_suppkey").cast("string").alias("node"),
+        F.col("l_orderkey").cast("string").alias("factor"),
+    ).agg(F.count("*").alias("cnt"))
+    return cooccurrence_edges_multiset(occ, min_frequency=2).select(
+        "src", "dst", F.col("frequency").cast("long").alias("frequency")
+    )
+
+
+def _supplier_labels(spark, sf_dir):
+    return _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("string").alias("id"),
+        F.col("s_nationkey").cast("string").alias("community"),
+    )
+
+
+def q_coverage_suppliers(spark, sf_dir):
+    from bluegraph_spark.operators.metrics import coverage
+
+    c = coverage(
+        _supplier_edges(spark, sf_dir), _supplier_labels(spark, sf_dir),
+        weight_col="frequency",
+    )
+    return spark.createDataFrame([(round(c, 10),)], "coverage double")
+
+
+def q_performance_suppliers(spark, sf_dir):
+    from bluegraph_spark.operators.metrics import performance
+
+    p = performance(_supplier_edges(spark, sf_dir), _supplier_labels(spark, sf_dir))
+    return spark.createDataFrame([(round(p, 10),)], "performance double")
+
+
+def q_fingerprint_docs(spark, sf_dir):
+    from bluegraph_spark.functions.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", fingerprint("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keep_id"),
+        )
+    )
+
+
+def q_quality_docs(spark, sf_dir):
+    from bluegraph_spark.functions.text import quality_score, stopword_ratio
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(quality_score("text"), 8).alias("quality"),
+        F.round(stopword_ratio("text"), 8).alias("stop_ratio"),
+    )
+
+
+def q_simhash_docs(spark, sf_dir):
+    from bluegraph_spark.operators.dedup import simhash_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_pairs(d, "doc_id", "text", max_hamming=3, chunks=4).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+def q_lsh_cosine_docs(spark, sf_dir):
+    """Approximate ANN (random-hyperplane LSH). No SQL oracle: the plane
+    weights are xxhash64-derived, which DuckDB cannot reproduce — the driver
+    records the weaker rows-only check for this one by design."""
+    from bluegraph_spark.operators.similarity import lsh_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_cosine_topk(
+        emb.filter("vec_id < 30"), emb, k=3, planes=8, tables=2
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _doc_media(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+
+
+def q_media_features_docs(spark, sf_dir):
+    """Multimodal plumbing: mapInPandas byte-feature extraction over binary
+    payloads. No SQL oracle (mapInPandas is not SQL-expressible); the driver
+    records the rows-only check."""
+    from bluegraph_spark.operators.multimodal import extract_media_features
+
+    feats = extract_media_features(_doc_media(spark, sf_dir))
+    return feats.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        "kind",
+        "n_bytes",
+        F.round("byte_mean", 6).alias("byte_mean"),
+        F.round("byte_std", 6).alias("byte_std"),
+    )
+
+
+def q_frame_sample_docs(spark, sf_dir):
+    from bluegraph_spark.operators.multimodal import sample_frames
+
+    frames = sample_frames(_doc_media(spark, sf_dir), every_n_bytes=256, max_frames=8)
+    return frames.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        "kind",
+        F.col("frame_no").cast("long").alias("frame_no"),
+        F.col("byte_offset").cast("long").alias("byte_offset"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+    )
+
+
+def q_subgraph_orders(spark, sf_dir):
+    from bluegraph_spark.pgframe import SparkPGFrame
+
+    o = _t(spark, sf_dir, "orders")
+    pg = SparkPGFrame(
+        o.select(F.col("o_orderkey").cast("string").alias("id")),
+        _order_chain(spark, sf_dir),
+        directed=True,
+    )
+    keep = o.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_orderkey").cast("string").alias("id")
+    )
+    return pg.subgraph(nodes=keep).edges().select("src", "dst")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: part co-occurrence graph at sf0.001 → weighted PageRank to
     convergence → scores joined with degree."""
@@ -308,6 +451,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_docs": q_langid_docs,
         "sha256_docs": q_sha256_docs,
         "user_top_events": q_user_top_events,
+        "cooc_multiset_supp": q_cooc_multiset_supp,
+        "coverage_suppliers": q_coverage_suppliers,
+        "performance_suppliers": q_performance_suppliers,
+        "fingerprint_docs": q_fingerprint_docs,
+        "quality_docs": q_quality_docs,
+        "simhash_docs": q_simhash_docs,
+        "lsh_cosine_docs": q_lsh_cosine_docs,
+        "media_features_docs": q_media_features_docs,
+        "frame_sample_docs": q_frame_sample_docs,
+        "subgraph_orders": q_subgraph_orders,
     }
 
 
@@ -533,6 +686,79 @@ SELECT doc_id, {case} AS pred_lang FROM scores
 """
 
 
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """Bit-exact DuckDB replica of functions/text.py::simhash64.
+
+    Per token: h = big-endian uint64 of md5(token).digest()[:8]; per bit b
+    (0..63): vote +1 if (h >> b) & 1 else -1; signature bit b set iff the
+    vote sum is positive; signed-64 wraparound. Bytes are read out of the
+    md5 hex string: bit b lives in hex chars of byte (7 - b//8), shifted by
+    b % 8.
+    """
+
+    def hexv(c: str) -> str:
+        return f"(strpos('0123456789abcdef', {c}) - 1)"
+
+    votes = []
+    for b in range(64):
+        byte_i = 7 - (b // 8)
+        hi = hexv(f"substr(m, {2 * byte_i + 1}, 1)")
+        lo = hexv(f"substr(m, {2 * byte_i + 2}, 1)")
+        bit = f"((({hi}) * 16 + ({lo})) >> {b % 8}) & 1"
+        votes.append(f"sum(CASE WHEN ({bit}) = 1 THEN 1 ELSE -1 END) AS v{b}")
+    sig_u = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN (1::HUGEINT << {b}) ELSE 0::HUGEINT END)"
+        for b in range(64)
+    )
+    return f"""
+WITH {_DOC_TOKS},
+tok_rows AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+hashed AS (SELECT doc_id, md5(tok) AS m FROM tok_rows),
+votes AS (SELECT doc_id, {", ".join(votes)} FROM hashed GROUP BY doc_id),
+sig_u AS (SELECT doc_id, ({sig_u}) AS su FROM votes),
+sigs AS (
+  SELECT d.doc_id,
+         CAST(CASE WHEN s.su IS NULL THEN 0
+                   WHEN s.su >= 9223372036854775808::HUGEINT
+                     THEN s.su - 18446744073709551616::HUGEINT
+                   ELSE s.su END AS BIGINT) AS sig
+  FROM documents d LEFT JOIN sig_u s USING (doc_id)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+"""
+
+
+def _quality_sql() -> str:
+    from bluegraph_spark.functions.text import EN_STOPWORDS
+
+    stop = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    return f"""
+WITH {_DOC_TOKS},
+base AS (
+  SELECT d.doc_id,
+         CAST(len(t.t) AS DOUBLE) AS n,
+         CAST(len(list_distinct(t.t)) AS DOUBLE) AS nd,
+         CAST(list_sum(list_transform(t.t, x -> length(x))) AS DOUBLE)
+           / greatest(len(t.t), 1) AS mlen,
+         CAST(length(d.text) - length(regexp_replace(d.text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+           / greatest(length(d.text), 1) AS pr,
+         CAST(len(list_filter(t.t, x -> x IN ({stop}))) AS DOUBLE)
+           / greatest(len(t.t), 1) AS sr
+  FROM documents d JOIN toks t USING (doc_id)
+)
+SELECT doc_id,
+       ROUND((CASE WHEN n >= 10 AND n <= 10000 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN pr < 0.2 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN mlen >= 2.0 AND mlen <= 12.0 THEN 1.0 ELSE 0.0 END
+            + least(nd / greatest(n, 1) * 2, 1.0)) / 4.0, 8) AS quality,
+       ROUND(sr, 8) AS stop_ratio
+FROM base
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "cooc_parts_freq": f"""
@@ -671,6 +897,86 @@ FROM documents d JOIN toks t USING (doc_id)
 """,
         "langid_docs": _langid_sql(),
         "sha256_docs": "SELECT doc_id, sha256(text) AS sha FROM documents",
+        "cooc_multiset_supp": """
+WITH occ AS (
+  SELECT CAST(l_suppkey AS VARCHAR) AS node,
+         CAST(l_orderkey AS VARCHAR) AS factor,
+         count(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT a.node AS src, b.node AS dst,
+       CAST(sum(least(a.cnt, b.cnt)) AS BIGINT) AS frequency
+FROM occ a JOIN occ b ON a.factor = b.factor AND a.node < b.node
+GROUP BY 1, 2
+HAVING sum(least(a.cnt, b.cnt)) >= 2
+""",
+        "coverage_suppliers": f"""
+WITH {_SUPP_OCC},
+pairs AS (
+  SELECT a.node AS src, b.node AS dst, CAST(count(*) AS DOUBLE) AS w
+  FROM occ a JOIN occ b ON a.factor = b.factor AND a.node < b.node
+  GROUP BY 1, 2
+),
+lab AS (SELECT CAST(s_suppkey AS VARCHAR) AS id, CAST(s_nationkey AS VARCHAR) AS c FROM supplier),
+el AS (
+  SELECT p.w, ls.c AS cs, ld.c AS ct
+  FROM pairs p JOIN lab ls ON ls.id = p.src JOIN lab ld ON ld.id = p.dst
+)
+SELECT ROUND(sum(CASE WHEN cs = ct THEN w ELSE 0 END) / sum(w), 10) AS coverage
+FROM el
+""",
+        "performance_suppliers": f"""
+WITH {_SUPP_OCC},
+pairs AS (
+  SELECT a.node AS src, b.node AS dst
+  FROM occ a JOIN occ b ON a.factor = b.factor AND a.node < b.node
+  GROUP BY 1, 2
+),
+lab AS (SELECT CAST(s_suppkey AS VARCHAR) AS id, CAST(s_nationkey AS VARCHAR) AS c FROM supplier),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lab),
+sizes AS (SELECT c, CAST(count(*) AS DOUBLE) AS s FROM lab GROUP BY 1),
+intra_pairs AS (SELECT sum(s * (s - 1) / 2) AS ip FROM sizes),
+el AS (
+  SELECT CASE WHEN ls.c = ld.c THEN 1 ELSE 0 END AS i
+  FROM pairs p JOIN lab ls ON ls.id = p.src JOIN lab ld ON ld.id = p.dst
+  WHERE p.src <> p.dst
+),
+agg AS (SELECT CAST(sum(i) AS DOUBLE) AS intra_e, CAST(count(*) AS DOUBLE) AS m FROM el)
+SELECT ROUND(
+  (agg.intra_e + ((n.n * (n.n - 1) / 2 - ip.ip) - (agg.m - agg.intra_e)))
+  / (n.n * (n.n - 1) / 2), 10) AS performance
+FROM agg, n, intra_pairs ip
+""",
+        "fingerprint_docs": f"""
+WITH {_DOC_TOKS}
+SELECT md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fingerprint,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS keep_id
+FROM toks GROUP BY 1
+""",
+        "quality_docs": _quality_sql(),
+        "simhash_docs": _simhash_sql(),
+        "frame_sample_docs": """
+SELECT doc_id AS media_id,
+       'video' AS kind,
+       CAST(unnest(range(0, least(7, CAST(floor(strlen(text) / 256) AS BIGINT)) + 1)) AS BIGINT) AS frame_no,
+       CAST(unnest(range(0, least(7, CAST(floor(strlen(text) / 256) AS BIGINT)) + 1)) * 256 AS BIGINT) AS byte_offset,
+       CAST(strlen(text) AS BIGINT) AS n_bytes
+FROM documents
+""",
+        "subgraph_orders": """
+WITH chain AS (
+  SELECT CAST(lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS VARCHAR) AS src,
+         CAST(o_orderkey AS VARCHAR) AS dst
+  FROM orders
+),
+keep AS (SELECT CAST(o_orderkey AS VARCHAR) AS id FROM orders WHERE o_totalprice > 150000)
+SELECT c.src, c.dst
+FROM chain c
+JOIN keep ks ON ks.id = c.src
+JOIN keep kd ON kd.id = c.dst
+WHERE c.src IS NOT NULL
+""",
         "user_top_events": """
 WITH agg AS (
   SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,

@@ -104,6 +104,21 @@ def minhash_signature(text_col, n: int = 3, num_hashes: int = 8):
     return F.array(*sigs)
 
 
+def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """(id, sig: array) from a long (id, shingle) table — same values as
+    ``minhash_signature`` but computed as one aggregation over an already-
+    materialized shingle table instead of re-shingling the text."""
+    mins = sh.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -111,19 +126,19 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_hashes: int = 8,
     bands: int = 4,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b) candidate near-dup pairs: same MinHash band in ≥1 band.
 
     bands must divide num_hashes; rows-per-band r = num_hashes/bands gives
-    the usual S-curve threshold ≈ (1/bands)^(1/r).
+    the usual S-curve threshold ≈ (1/bands)^(1/r). ``shingles`` optionally
+    supplies a pre-built (id, shingle) table to avoid re-shingling.
     """
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), n, num_hashes).alias("sig"),
-    )
+    sh = shingles if shingles is not None else shingle_table(df, id_col, text_col, n)
+    sig = _signatures_from_shingles(sh, num_hashes)
     band_rows = sig.select(
         "id",
         F.explode(
@@ -162,9 +177,17 @@ def minhash_dedup_pairs(
     bands: int = 4,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """LSH candidates verified with exact Jaccard ≥ threshold."""
-    cands = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands)
-    sh = shingle_table(df, id_col, text_col, n)
+    """LSH candidates verified with exact Jaccard ≥ threshold.
+
+    The shingle table is materialized once (persisted) and shared by the
+    signature aggregation, the size counts, and both sides of the
+    verification join — shingling the corpus is the dominant cost and
+    running it four times is 3x wasted work at any scale.
+    """
+    sh = shingle_table(df, id_col, text_col, n).persist()
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, n, num_hashes, bands, shingles=sh
+    )
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     sha = sh.select(F.col("id").alias("id_a"), "shingle")
     shb = sh.select(F.col("id").alias("id_b"), "shingle")

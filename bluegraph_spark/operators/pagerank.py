@@ -88,14 +88,24 @@ def pagerank(
     else:
         vertices = nodes.select(F.col(nodes.columns[0]).alias("id")).distinct()
 
-    n_parts = partitions or spark.conf.get("spark.sql.shuffle.partitions")
-    n_parts = int(n_parts)
+    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     # Out-weight normalization (NetworkX stochastic_graph): w_uv / Σ_v w_uv.
     # ``out`` is persisted because three consumers read it (norm, the
     # dangling flags, and — on superstep 1 — the state recompute); without it
     # the full edge scan + groupBy runs once per consumer.
-    out = e.groupBy("src").agg(F.sum("w").alias("out_w")).persist()
+    out = e.groupBy("src").agg(
+        F.sum("w").alias("out_w"), F.count("*").alias("_deg")
+    ).persist()
+    # Size the superstep partitioning from the measured edge count: 32 task
+    # waves over a 2k-vertex graph cost more in scheduling than the work
+    # itself, while a 30M-edge graph needs every core. ~1M directed edges
+    # per partition keeps tasks in the hundreds of ms.
+    if partitions:
+        n_parts = int(partitions)
+    else:
+        n_edges_directed = out.agg(F.sum("_deg")).collect()[0][0] or 0
+        n_parts = max(1, min(conf_parts, (int(n_edges_directed) // 1_000_000) + 1))
     # CSR-blocked layout (north rule): hash-partitioned by src AND sorted
     # within partitions. InMemoryTableScan reports the cached plan's
     # partitioning + ordering, so every superstep's sort-merge join with the
@@ -164,6 +174,10 @@ def pagerank(
     it = start_iter
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # Align every loop exchange (message groupBy, state-side shuffles)
+        # with the norm partitioning so the superstep joins stay
+        # exchange-free at the chosen width.
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
         while it < max_iter:
             it += 1
             _t0 = time.time()
@@ -230,6 +244,7 @@ def pagerank(
                 break
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.conf.set("spark.sql.shuffle.partitions", str(conf_parts))
 
     norm.unpersist()
     out.unpersist()

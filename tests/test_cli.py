@@ -1,0 +1,86 @@
+"""CLI surface (python -m bluegraph_spark / spark-submit shim) end-to-end.
+
+Drives the same code paths a cluster job would: corpus parquet in, parquet
+artifacts out, superstep checkpoints + resume across invocations.
+"""
+
+import json
+import os
+
+import pytest
+
+from bluegraph_spark.__main__ import main
+from bluegraph_spark.sources.synthetic import synthetic_repo_files
+
+
+@pytest.fixture(scope="module")
+def corpus_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("cli") / "corpus")
+    synthetic_repo_files(spark, n_files=60, vocab_size=80).write.parquet(path)
+    return path
+
+
+def _run(capsys, argv):
+    assert main(argv) == 0
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_pipeline_command(spark, corpus_path, tmp_path, capsys):
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    res = _run(capsys, [
+        "pipeline", "--corpus", corpus_path, "--output", out,
+        "--checkpoint-dir", ck, "--factor-freq-cap", "50",
+    ])
+    assert res["sha256_mismatches"] == 0
+    assert res["pagerank"]["converged"]
+    for artifact in ("edges", "pagerank", "components", "lpa", "triangles"):
+        assert os.path.exists(os.path.join(out, artifact, "_SUCCESS"))
+    ranks = spark.read.parquet(f"{out}/pagerank")
+    assert ranks.columns == ["id", "rank"]
+    assert ranks.count() > 0
+    # checkpoints were written per algorithm run
+    assert os.path.isdir(os.path.join(ck, "run-pagerank"))
+
+
+def test_pagerank_command_resume(spark, corpus_path, tmp_path, capsys):
+    edges_out = str(tmp_path / "edges")
+    _run(capsys, [
+        "ingest", "--corpus", corpus_path, "--output", str(tmp_path / "occ"),
+    ])
+    _run(capsys, [
+        "cooc", "--occurrences", str(tmp_path / "occ"),
+        "--statistics", "frequency", "--output", edges_out,
+    ])
+    ck = str(tmp_path / "ck")
+    first = _run(capsys, [
+        "pagerank", "--edges", edges_out, "--output", str(tmp_path / "pr1"),
+        "--checkpoint-dir", ck, "--max-iter", "3", "--tol", "0",
+    ])
+    assert first["iterations"] == 3
+    resumed = _run(capsys, [
+        "pagerank", "--edges", edges_out, "--output", str(tmp_path / "pr2"),
+        "--checkpoint-dir", ck, "--max-iter", "5", "--tol", "0", "--resume",
+    ])
+    # continued from superstep 3, ran exactly 2 more
+    assert resumed["iterations"] == 5
+    r1 = spark.read.parquet(str(tmp_path / "pr1"))
+    r2 = spark.read.parquet(str(tmp_path / "pr2"))
+    assert r1.count() == r2.count()
+
+
+def test_triangles_command(spark, corpus_path, tmp_path, capsys):
+    _run(capsys, [
+        "ingest", "--corpus", corpus_path, "--output", str(tmp_path / "occ"),
+    ])
+    _run(capsys, [
+        "cooc", "--occurrences", str(tmp_path / "occ"),
+        "--statistics", "frequency", "--output", str(tmp_path / "edges"),
+    ])
+    _run(capsys, [
+        "triangles", "--edges", str(tmp_path / "edges"),
+        "--output", str(tmp_path / "tri"),
+    ])
+    tri = spark.read.parquet(str(tmp_path / "tri"))
+    assert set(tri.columns) == {"id", "triangles"}
+    assert tri.count() > 0
