@@ -134,7 +134,7 @@ def _pagerank_run(spark, graph_path: str) -> dict:
 def _burn(_):
     x = 0
     t0 = time.time()
-    while time.time() - t0 < 2:
+    while time.time() - t0 < 3:
         x += 1
     return x
 
@@ -150,9 +150,12 @@ def _cpu_ceiling(low: int, high: int) -> float:
 
     totals = {}
     for n in (low, high):
-        with mp.Pool(n) as pool:
-            totals[n] = sum(pool.map(_burn, range(n)))
-    return round((totals[high] / totals[low]) / (high / low), 3)
+        best = 0
+        for _ in range(2):
+            with mp.Pool(n) as pool:
+                best = max(best, sum(pool.map(_burn, range(n))))
+        totals[n] = best
+    return round(min(1.0, (totals[high] / totals[low]) / (high / low)), 3)
 
 
 def scaling_bench() -> dict:

@@ -22,10 +22,11 @@ xor-ish hash sum) — no driver-side edge materialization.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from bluegraph_spark.plans.checkpoint import SuperstepCheckpointer
@@ -115,13 +116,30 @@ def connected_components(
     rnd = start_round
     while rnd < max_rounds:
         rnd += 1
+        t0 = time.time()
         e_new = _small_star(_large_star(e))
+        # Convergence signature (edge count + order-insensitive hash sum)
+        # rides the materialization job as observed metrics — no second pass.
+        obs = Observation(f"cc_round_{rnd}")
+        e_new = e_new.observe(
+            obs,
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.xxhash64("a", "b")).alias("h"),
+        )
         if checkpointer is not None:
             e_new = checkpointer.save(rnd, e_new)
         else:
             e_new = e_new.localCheckpoint()
-        sig = _signature(e_new)
-        history.append({"round": rnd, "edges": sig[0], "hash": sig[1]})
+        m = obs.get
+        sig = (int(m["cnt"] or 0), int(m["h"] or 0))
+        history.append(
+            {
+                "round": rnd,
+                "superstep_sec": round(time.time() - t0, 3),
+                "edges": sig[0],
+                "hash": sig[1],
+            }
+        )
         if checkpointer is not None:
             from bluegraph_spark.operators.pagerank import _update_metrics
 

@@ -18,14 +18,23 @@ deterministic synchronous variant:
 
 The matching pure-Python oracle lives in the test suite; exact equality of
 labels is asserted at convergence (north rule).
+
+Superstep plan (same scale design as pagerank.py): the symmetrized edge
+table is CSR-blocked (hash-partitioned by src, sorted, cached) so the
+per-superstep label join re-shuffles only the small label state; the
+weighted-majority argmax is a ``min_by`` over (-weight, label) — struct
+ordering gives the max-weight / min-label tie-break in one aggregation, no
+window; the change count rides the checkpoint materialization as an
+observed metric; AQE and the shuffle width are frozen inside the loop.
 """
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from bluegraph_spark.pgframe import symmetrize_edges
@@ -47,6 +56,7 @@ def label_propagation(
     nodes: DataFrame | None = None,
     checkpointer: SuperstepCheckpointer | None = None,
     resume: bool = False,
+    partitions: int | None = None,
 ) -> LPAResult:
     """Deterministic synchronous LPA over undirected ``(src, dst[, w])``."""
     spark = edges.sparkSession
@@ -70,8 +80,15 @@ def label_propagation(
             F.col(nodes.columns[0]).cast("string").alias("id")
         ).distinct()
 
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    e = e.repartition(n_parts, "src").persist()
+    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    deg = e.groupBy("src").agg(F.count("*").alias("_deg")).persist()
+    if partitions:
+        n_parts = int(partitions)
+    else:
+        n_edges = deg.agg(F.sum("_deg")).collect()[0][0] or 0
+        n_parts = max(1, min(conf_parts, (int(n_edges) // 1_000_000) + 1))
+    e = e.repartition(n_parts, "src").sortWithinPartitions("src").persist()
+    deg.unpersist()
 
     start_iter = 0
     if resume and checkpointer is not None and checkpointer.latest() is not None:
@@ -83,51 +100,75 @@ def label_propagation(
                 checkpointer.metrics_log(),
             )
     else:
-        labels = vertices.withColumn("label", F.col("id"))
+        labels = vertices.withColumn("label", F.col("id")).repartition(
+            n_parts, "id"
+        )
         if checkpointer is not None:
             labels = checkpointer.save(0, labels)
         else:
             labels = labels.localCheckpoint()
 
+    e.count()  # materialize the CSR cache under AQE before freezing the plan
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
+
     history: list[dict[str, Any]] = []
     converged = False
     it = start_iter
-    while it < max_iter:
-        it += 1
-        scores = (
-            e.join(labels.select(F.col("id").alias("src"), "label"), "src")
-            .groupBy(F.col("dst").alias("id"), "label")
-            .agg(F.sum("w").alias("s"))
-        )
-        pick = Window.partitionBy("id").orderBy(F.desc("s"), F.asc("label"))
-        best = (
-            scores.withColumn("_rn", F.row_number().over(pick))
-            .filter(F.col("_rn") == 1)
-            .select("id", F.col("label").alias("_new"))
-        )
-        new_labels = (
-            labels.join(best, "id", "left")
-            .select(
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+        while it < max_iter:
+            it += 1
+            t0 = time.time()
+            scores = (
+                e.join(labels.select(F.col("id").alias("src"), "label"), "src")
+                .groupBy(F.col("dst").alias("id"), "label")
+                .agg(F.sum("w").alias("s"))
+            )
+            # argmax by (weight desc, label asc) without a window: struct
+            # ordering is lexicographic, so min over (-s, label) picks the
+            # heaviest label with the smallest-label tie-break.
+            best = scores.groupBy("id").agg(
+                F.min_by(
+                    "label", F.struct((-F.col("s")).alias("ns"), F.col("label"))
+                ).alias("_new")
+            )
+            new_labels = labels.join(best, "id", "left").select(
                 "id",
                 F.coalesce("_new", "label").alias("label"),
                 (F.coalesce("_new", "label") != F.col("label")).alias("_changed"),
             )
-        )
-        if checkpointer is not None:
-            new_labels = checkpointer.save(it, new_labels, {"pending": True})
-        else:
-            new_labels = new_labels.localCheckpoint()
-        changes = new_labels.filter("_changed").count()
-        rec = {"iteration": it, "changes": int(changes), "converged": changes == 0}
-        history.append(rec)
-        if checkpointer is not None:
-            from bluegraph_spark.operators.pagerank import _update_metrics
+            obs = Observation(f"lpa_iter_{it}")
+            new_labels = new_labels.observe(
+                obs,
+                F.sum(F.col("_changed").cast("long")).alias("changes"),
+                F.count(F.lit(1)).alias("rows"),
+            )
+            if checkpointer is not None:
+                new_labels = checkpointer.save(it, new_labels, {"pending": True})
+            else:
+                new_labels = new_labels.localCheckpoint()
+            m = obs.get
+            changes = int(m["changes"] or 0)
+            rec = {
+                "iteration": it,
+                "superstep_sec": round(time.time() - t0, 3),
+                "changes": changes,
+                "rows": int(m["rows"]),
+                "converged": changes == 0,
+            }
+            history.append(rec)
+            if checkpointer is not None:
+                from bluegraph_spark.operators.pagerank import _update_metrics
 
-            _update_metrics(checkpointer, it, rec)
-        labels = new_labels.drop("_changed") if changes == 0 else new_labels
-        if changes == 0:
-            converged = True
-            break
+                _update_metrics(checkpointer, it, rec)
+            labels = new_labels
+            if changes == 0:
+                converged = True
+                break
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.conf.set("spark.sql.shuffle.partitions", str(conf_parts))
 
     e.unpersist()
     return LPAResult(labels.select("id", "label"), it, converged, history)
