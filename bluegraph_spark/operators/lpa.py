@@ -81,14 +81,16 @@ def label_propagation(
         ).distinct()
 
     conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    deg = e.groupBy("src").agg(F.count("*").alias("_deg")).persist()
+    # One pass over the (possibly expensive) source: cache the symmetrized
+    # raw edges, size the loop partitioning off the cached count, build the
+    # CSR-blocked cache from it, then drop the raw cache.
+    e0 = e.persist()
     if partitions:
         n_parts = int(partitions)
     else:
-        n_edges = deg.agg(F.sum("_deg")).collect()[0][0] or 0
-        n_parts = max(1, min(conf_parts, (int(n_edges) // 1_000_000) + 1))
-    e = e.repartition(n_parts, "src").sortWithinPartitions("src").persist()
-    deg.unpersist()
+        n_edges = e0.count()
+        n_parts = max(1, min(conf_parts, (n_edges // 250_000) + 1))
+    e = e0.repartition(n_parts, "src").sortWithinPartitions("src").persist()
 
     start_iter = 0
     if resume and checkpointer is not None and checkpointer.latest() is not None:
@@ -109,6 +111,7 @@ def label_propagation(
             labels = labels.localCheckpoint()
 
     e.count()  # materialize the CSR cache under AQE before freezing the plan
+    e0.unpersist()
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
 
     history: list[dict[str, Any]] = []

@@ -73,6 +73,38 @@ def density(edges: DataFrame, nodes: DataFrame | None = None, directed: bool = F
     return d if directed else 2 * d
 
 
+def compute_all_node_metrics(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    degree_weights: tuple[str | None, ...] = (None,),
+    pagerank_weights: tuple[str | None, ...] = (),
+    directed: bool = False,
+    pagerank_kwargs: dict | None = None,
+) -> DataFrame:
+    """Batch metric driver (reference ``compute_all_node_metrics``,
+    core/analyse/metrics.py:66-96): one vertex DataFrame with a column per
+    requested metric/weight combination — ``degree[_<w>]`` and
+    ``pagerank[_<w>]`` — instead of the reference's nested result dict.
+    """
+    from bluegraph_spark.operators.pagerank import pagerank as _pagerank
+
+    def colname(metric: str, w: str | None) -> str:
+        return f"{metric}_{w}" if w else metric
+
+    out: DataFrame | None = None
+    for w in degree_weights:
+        d = degree_centrality(edges, weight_col=w, nodes=nodes, directed=directed)
+        d = d.withColumnRenamed("degree", colname("degree", w))
+        out = d if out is None else out.join(d, "id", "outer")
+    for w in pagerank_weights:
+        r = _pagerank(
+            edges, weight_col=w, directed=directed, nodes=nodes,
+            **(pagerank_kwargs or {}),
+        ).ranks.withColumnRenamed("rank", colname("pagerank", w))
+        out = r if out is None else out.join(r, "id", "outer")
+    return out
+
+
 def _edges_with_labels(edges: DataFrame, labels: DataFrame, weight_col: str | None):
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     e = edges.select(

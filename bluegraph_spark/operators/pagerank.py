@@ -90,22 +90,27 @@ def pagerank(
 
     conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
+    # The raw edge expression may itself be expensive (e.g. a co-occurrence
+    # self-join); cache it so sizing, out-weights, and the normalized table
+    # cost exactly ONE pass over the source, then drop it once the derived
+    # caches are materialized.
+    e = e.persist()
+
     # Out-weight normalization (NetworkX stochastic_graph): w_uv / Σ_v w_uv.
     # ``out`` is persisted because three consumers read it (norm, the
-    # dangling flags, and — on superstep 1 — the state recompute); without it
-    # the full edge scan + groupBy runs once per consumer.
+    # dangling flags, and — on superstep 1 — the state recompute).
     out = e.groupBy("src").agg(
         F.sum("w").alias("out_w"), F.count("*").alias("_deg")
     ).persist()
     # Size the superstep partitioning from the measured edge count: 32 task
     # waves over a 2k-vertex graph cost more in scheduling than the work
-    # itself, while a 30M-edge graph needs every core. ~1M directed edges
+    # itself, while a 30M-edge graph needs every core. ~250k directed edges
     # per partition keeps tasks in the hundreds of ms.
     if partitions:
         n_parts = int(partitions)
     else:
         n_edges_directed = out.agg(F.sum("_deg")).collect()[0][0] or 0
-        n_parts = max(1, min(conf_parts, (int(n_edges_directed) // 1_000_000) + 1))
+        n_parts = max(1, min(conf_parts, (int(n_edges_directed) // 250_000) + 1))
     # CSR-blocked layout (north rule): hash-partitioned by src AND sorted
     # within partitions. InMemoryTableScan reports the cached plan's
     # partitioning + ordering, so every superstep's sort-merge join with the
@@ -167,6 +172,7 @@ def pagerank(
     # partitioned inputs, and AQE's per-stage driver re-planning is pure
     # serial overhead there (measured at seconds per superstep).
     norm.count()
+    e.unpersist()
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
 
     converged = False

@@ -313,6 +313,100 @@ class SparkPGFrame:
         n = self._nodes.join(self.endpoint_ids(), "id", "left_semi")
         return SparkPGFrame(n, self._edges, directed=self.directed)
 
+    # ---- point lookups (core/io.py:1037-1067; tests only — driver-side) --
+
+    def get_node(self, node_id) -> dict | None:
+        rows = self._nodes.filter(F.col("id") == str(node_id)).collect()
+        return rows[0].asDict() if rows else None
+
+    def get_edge(self, src, dst) -> dict | None:
+        s, d = str(src), str(dst)
+        cond = (F.col("src") == s) & (F.col("dst") == d)
+        if not self.directed:
+            cond = cond | ((F.col("src") == d) & (F.col("dst") == s))
+        rows = self._edges.filter(cond).collect()
+        return rows[0].asDict() if rows else None
+
+    def get_node_property_values(self, prop: str) -> dict:
+        return {r["id"]: r[prop] for r in self._nodes.select("id", prop).collect()}
+
+    def get_edge_property_values(self, prop: str) -> dict:
+        return {
+            (r["src"], r["dst"]): r[prop]
+            for r in self._edges.select("src", "dst", prop).collect()
+        }
+
+    # ---- JSON / CSV round-trips (core/io.py:529-548, 1133-1142, 1254-1311)
+
+    def to_json(self) -> dict:
+        """Driver-side dict {nodes: [...], edges: [...]} — the reference's
+        export shape (core/io.py:1254-1270). Collects; test-fixture scale
+        only (the bulk path is parquet/Iceberg via DataFrame writers)."""
+        return {
+            "directed": self.directed,
+            "nodes": [r.asDict(recursive=True) for r in self._nodes.collect()],
+            "edges": [r.asDict(recursive=True) for r in self._edges.collect()],
+        }
+
+    @classmethod
+    def from_json(cls, spark, payload: dict) -> "SparkPGFrame":
+        """Inverse of to_json (reference load_json, core/io.py:1272-1311)."""
+        import pandas as pd
+
+        nodes = spark.createDataFrame(pd.DataFrame(payload["nodes"]))
+        edges = spark.createDataFrame(pd.DataFrame(payload["edges"]))
+        return cls(nodes, edges, directed=payload.get("directed", False))
+
+    def export_json(self, path: str) -> None:
+        import json
+
+        with open(path, "w") as f:
+            json.dump(self.to_json(), f)
+
+    @classmethod
+    def load_json(cls, spark, path: str) -> "SparkPGFrame":
+        import json
+
+        with open(path) as f:
+            return cls.from_json(spark, json.load(f))
+
+    def to_csv(self, node_path: str, edge_path: str) -> None:
+        """CSV export of both frames (core/io.py:529-531). Array-typed
+        property columns are JSON-encoded per cell (CSV has no arrays);
+        from_csv decodes them back."""
+        self._write_csv(self._nodes, node_path)
+        self._write_csv(self._edges, edge_path)
+
+    @staticmethod
+    def _write_csv(df: DataFrame, path: str) -> None:
+        cols = [
+            F.to_json(c).alias(c) if t.startswith("array") else F.col(c)
+            for c, t in df.dtypes
+        ]
+        df.select(cols).write.mode("overwrite").option("header", True).csv(path)
+
+    @classmethod
+    def from_csv(
+        cls,
+        spark,
+        node_path: str,
+        edge_path: str,
+        directed: bool = False,
+        array_props: tuple[str, ...] = (),
+    ) -> "SparkPGFrame":
+        """CSV load (core/io.py:533-548); ``array_props`` names columns to
+        decode back from JSON-encoded arrays (the reference's @type-set
+        parse-back, core/io.py:1137-1142)."""
+
+        def read(path):
+            df = spark.read.option("header", True).option("inferSchema", True).csv(path)
+            for c in array_props:
+                if c in df.columns:
+                    df = df.withColumn(c, F.from_json(c, "array<string>"))
+            return df
+
+        return cls(read(node_path), read(edge_path), directed=directed)
+
 
 def _filter_typed(df: DataFrame, typed_by: str) -> DataFrame:
     dtypes = dict(df.dtypes)
