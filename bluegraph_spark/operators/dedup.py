@@ -64,7 +64,7 @@ def jaccard_pairs(
     """(id_a, id_b, jaccard): exact n-gram Jaccard over all pairs sharing at
     least one shingle. ``shingle_freq_cap`` drops stopword-like shingles
     (same skew story as co-occurrence factors)."""
-    sh = shingle_table(df, id_col, text_col, n)
+    sh = shingle_table(df, id_col, text_col, n).persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     if shingle_freq_cap is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("_fc"))

@@ -56,7 +56,7 @@ def density(edges: DataFrame, nodes: DataFrame | None = None, directed: bool = F
     """m / (n(n-1)), doubled when undirected (reference core/io.py:610-615)."""
     e = edges.select(
         F.col("src").cast("string").alias("src"), F.col("dst").cast("string").alias("dst")
-    )
+    ).persist()
     if nodes is None:
         n = (
             e.select(F.col("src").alias("id"))
@@ -67,6 +67,7 @@ def density(edges: DataFrame, nodes: DataFrame | None = None, directed: bool = F
     else:
         n = nodes.select(nodes.columns[0]).distinct().count()
     m = e.count()
+    e.unpersist()
     if n < 2:
         return 0.0
     d = m / (n * (n - 1))
@@ -131,7 +132,7 @@ def modularity(
     their endpoint's degree).
     """
     el, _ = _edges_with_labels(edges, labels, weight_col)
-    el = el.withColumn("_intra", F.col("_cs") == F.col("_ct"))
+    el = el.withColumn("_intra", F.col("_cs") == F.col("_ct")).persist()
     m_row = el.agg(F.sum("w").alias("m")).collect()[0]
     m = float(m_row["m"] or 0.0)
     if m == 0:
@@ -150,7 +151,9 @@ def modularity(
             - (F.col("d") / (2.0 * m)) * (F.col("d") / (2.0 * m))
         ).alias("q")
     )
-    return float(per_c.agg(F.sum("q")).collect()[0][0] or 0.0)
+    q = float(per_c.agg(F.sum("q")).collect()[0][0] or 0.0)
+    el.unpersist()
+    return q
 
 
 def coverage(edges: DataFrame, labels: DataFrame, weight_col: str | None = None) -> float:

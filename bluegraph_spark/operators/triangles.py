@@ -50,8 +50,13 @@ def _oriented(edges: DataFrame) -> DataFrame:
 
 
 def triangles(edges: DataFrame) -> DataFrame:
-    """Triangle corner table: one row (x, y, z) per triangle."""
-    o = _oriented(edges)
+    """Triangle corner table: one row (x, y, z) per triangle.
+
+    The oriented edge table feeds three plan branches (both wedge sides and
+    the closure probe); persisting it keeps the upstream edge expression —
+    often an expensive co-occurrence join — at one evaluation.
+    """
+    o = _oriented(edges).persist()
     e1, e2 = o.alias("e1"), o.alias("e2")
     wedges = e1.join(
         e2,
