@@ -16,8 +16,11 @@ labels are therefore the lexicographic minimum id of each component.
 
 Each round's edge set runs through ``SuperstepCheckpointer`` when supplied
 (lineage cut + resume, north rule); otherwise ``localCheckpoint`` cuts
-lineage. Convergence is detected with a single aggregate over (count,
-xor-ish hash sum) — no driver-side edge materialization.
+lineage. Convergence is detected with a (count, bit_xor(xxhash64)) signature
+— order-insensitive, overflow-free under ANSI SQL (``sum(xxhash64)`` threw
+ARITHMETIC_OVERFLOW on ≥2 rows with ``spark.sql.ansi.enabled=true``) — that
+rides each round's materialization job as ``observe`` metrics, including the
+initial one: no extra pass over the edges anywhere.
 """
 
 from __future__ import annotations
@@ -40,12 +43,34 @@ class ComponentsResult:
     history: list[dict[str, Any]] = field(default_factory=list)
 
 
-def _signature(e: DataFrame) -> tuple[int, int]:
-    row = e.agg(
-        F.count("*").alias("cnt"),
-        F.sum(F.xxhash64("a", "b")).alias("h"),
-    ).collect()[0]
-    return int(row["cnt"] or 0), int(row["h"] or 0)
+def _sig_cols() -> list:
+    """(count, bit_xor of per-row xxhash64) — the convergence signature.
+
+    ``bit_xor`` is order-insensitive and cannot overflow, so it is safe under
+    ``spark.sql.ansi.enabled=true`` (a ``sum`` of 64-bit hashes overflows long
+    on the second row). Edge sets are distinct within a round, so XOR-
+    cancellation of duplicate rows cannot occur.
+    """
+    return [
+        F.count(F.lit(1)).alias("cnt"),
+        F.bit_xor(F.xxhash64("a", "b")).alias("h"),
+    ]
+
+
+def _materialize_with_sig(
+    e: DataFrame,
+    rnd: int,
+    checkpointer: SuperstepCheckpointer | None,
+) -> tuple[DataFrame, tuple[int, int]]:
+    """Checkpoint/localCheckpoint ``e``; the signature rides the same job."""
+    obs = Observation(f"cc_sig_r{rnd}_{time.time_ns()}")
+    e = e.observe(obs, *_sig_cols())
+    if checkpointer is not None:
+        e = checkpointer.save(rnd, e)
+    else:
+        e = e.localCheckpoint()
+    m = obs.get
+    return e, (int(m["cnt"] or 0), int(m["h"] or 0))
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -105,11 +130,13 @@ def connected_components(
             checkpointer.load_metrics(start_round).get("sig_hash"),
         )
     else:
+        e, prev_sig = _materialize_with_sig(e, 0, checkpointer)
         if checkpointer is not None:
-            e = checkpointer.save(0, e)
-        else:
-            e = e.localCheckpoint()
-        prev_sig = _signature(e)
+            from bluegraph_spark.operators.pagerank import _update_metrics
+
+            _update_metrics(
+                checkpointer, 0, {"sig_cnt": prev_sig[0], "sig_hash": prev_sig[1]}
+            )
 
     history: list[dict[str, Any]] = []
     converged = False
@@ -117,21 +144,11 @@ def connected_components(
     while rnd < max_rounds:
         rnd += 1
         t0 = time.time()
-        e_new = _small_star(_large_star(e))
-        # Convergence signature (edge count + order-insensitive hash sum)
-        # rides the materialization job as observed metrics — no second pass.
-        obs = Observation(f"cc_round_{rnd}")
-        e_new = e_new.observe(
-            obs,
-            F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.xxhash64("a", "b")).alias("h"),
+        # Convergence signature rides the materialization job as observed
+        # metrics — no second pass over the edges.
+        e_new, sig = _materialize_with_sig(
+            _small_star(_large_star(e)), rnd, checkpointer
         )
-        if checkpointer is not None:
-            e_new = checkpointer.save(rnd, e_new)
-        else:
-            e_new = e_new.localCheckpoint()
-        m = obs.get
-        sig = (int(m["cnt"] or 0), int(m["h"] or 0))
         history.append(
             {
                 "round": rnd,
