@@ -128,6 +128,20 @@ def q_triangles_parts(spark, sf_dir):
     )
 
 
+def q_cooc_top_parts(spark, sf_dir):
+    """Top-n frequent-vocabulary pruning before edge generation — the
+    reference's primary scale knob (cord19kg/utils.py:646-651)."""
+    from bluegraph_spark.operators.cooccurrence import (
+        cooccurrence_edges,
+        keep_top_n_nodes,
+    )
+
+    occ = keep_top_n_nodes(_part_occ(spark, sf_dir), 500)
+    return cooccurrence_edges(occ, statistics=["frequency"]).select(
+        "src", "dst", F.col("frequency").cast("long").alias("frequency")
+    )
+
+
 def q_degree_parts(spark, sf_dir):
     from bluegraph_spark.operators.metrics import degree_centrality
 
@@ -351,7 +365,7 @@ def q_lsh_cosine_docs(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_cosine_topk(
-        emb.filter("vec_id < 30"), emb, k=3, planes=8, tables=2
+        emb.filter("vec_id < 30"), emb, k=3, planes=8, tables=2, dim=64
     ).select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("neighbor_id").cast("long").alias("neighbor_id"),
@@ -434,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cooc_parts_freq": q_cooc_parts_freq,
         "cooc_parts_npmi": q_cooc_parts_npmi,
+        "cooc_top_parts": q_cooc_top_parts,
         "pagerank_parts": q_pagerank_parts,
         "cc_orders": q_cc_orders,
         "lpa_suppliers": q_lpa_suppliers,
@@ -766,6 +781,18 @@ WITH {_PART_OCC}, {_PART_PAIRS}
 SELECT src, dst, CAST(frequency AS BIGINT) AS frequency FROM pairs
 """,
         "cooc_parts_npmi": _mi_sql(),
+        "cooc_top_parts": f"""
+WITH {_PART_OCC},
+nf AS (SELECT node, count(*) AS c FROM occ GROUP BY 1),
+top AS (SELECT node FROM nf ORDER BY c DESC, node ASC LIMIT 500),
+o2 AS (SELECT occ.node, occ.factor FROM occ JOIN top USING (node)),
+pairs AS (
+  SELECT a.node AS src, b.node AS dst, count(*) AS frequency
+  FROM o2 a JOIN o2 b ON a.factor = b.factor AND a.node < b.node
+  GROUP BY 1, 2
+)
+SELECT src, dst, CAST(frequency AS BIGINT) AS frequency FROM pairs
+""",
         "pagerank_parts": _pagerank_sql(),
         "cc_orders": """
 SELECT CAST(o_orderkey AS VARCHAR) AS id,

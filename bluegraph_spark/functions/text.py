@@ -108,29 +108,97 @@ def langid_col(text: Column | str) -> Column:
     return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
 
 
+def simhash_signatures(df, id_col: str, text_col: str):
+    """(id, sig): 64-bit SimHash per document, as a pure Catalyst plan.
+
+    Semantics (bit-identical to the DuckDB oracle and to :func:`simhash64`):
+    per token t, h = big-endian uint64 of md5(t)[:8]; per bit b (0..63), vote
+    +1 if (h >> b) & 1 else -1; signature bit b set iff the vote sum > 0;
+    result is the signed-64 reinterpretation. Documents with zero tokens get
+    signature 0.
+
+    Plan: explode tokens → md5 → two 32-bit halves via ``conv`` (hex → long,
+    each < 2^32 so ANSI-safe) → one groupBy with 64 conditional-sum votes
+    (map-side partial aggregation: the shuffle carries one 64-column row per
+    document per partition, not the token table) → bitwise-OR bit packing.
+    Zero Python anywhere — this replaces a per-row/per-bit Python UDF that
+    was ~13s for 500 docs and would dominate any corpus-scale run.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens_col(F.col(text_col))).alias("_t")
+    )
+    m = F.md5("_t")
+    # md5 hexdigest chars 1-16 are digest[:8] big-endian: chars 1-8 = bits
+    # 63..32 of h, chars 9-16 = bits 31..0.
+    hashed = toks.select(
+        "id",
+        F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("_hi"),
+        F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("_lo"),
+    )
+
+    def bit(b: int):
+        src = F.col("_lo") if b < 32 else F.col("_hi")
+        return F.shiftright(src, b % 32).bitwiseAND(F.lit(1))
+
+    votes = hashed.groupBy("id").agg(
+        *[
+            F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"_v{b}")
+            for b in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"_v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    sigs = votes.select("id", sig.alias("sig"))
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(sigs, "id", "left").select(
+        "id", F.coalesce("sig", F.lit(0).cast("long")).alias("sig")
+    )
+
+
 @F.pandas_udf(LongType())
 def simhash64(tokens: pd.Series) -> pd.Series:
-    """64-bit SimHash over a token array column (Arrow-vectorized).
+    """64-bit SimHash over a token array column (Arrow + numpy batch kernel).
 
-    Per token: md5-derived 64-bit hash; per bit: +1/-1 vote; sign vector
-    packed to a signed 64-bit int.
+    Column-expression convenience twin of :func:`simhash_signatures` (same
+    values). The batch's tokens are hashed once, then the bit votes are one
+    ``np.unpackbits`` + ``np.add.reduceat`` over the whole batch — no
+    per-bit Python. Prefer ``simhash_signatures`` in pipelines: it is pure
+    Catalyst and keeps the whole stage in codegen.
     """
+    import numpy as np
 
-    def one(toks):
-        if toks is None or len(toks) == 0:
-            return 0
-        votes = [0] * 64
-        for t in toks:
-            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
-            for b in range(64):
-                votes[b] += 1 if (h >> b) & 1 else -1
-        v = 0
-        for b in range(64):
-            if votes[b] > 0:
-                v |= 1 << b
-        return v - (1 << 64) if v >= (1 << 63) else v
-
-    return tokens.map(one)
+    counts = np.fromiter(
+        (0 if t is None else len(t) for t in tokens), dtype=np.int64, count=len(tokens)
+    )
+    buf = b"".join(
+        hashlib.md5(tok.encode()).digest()[:8]
+        for t in tokens
+        if t is not None
+        for tok in t
+    )
+    out = np.zeros(len(tokens), dtype=np.uint64)
+    nonempty = counts > 0
+    if buf:
+        # (n_tokens, 64) bit matrix; column j = bit (63 - j) of h (big-endian)
+        bits = np.unpackbits(
+            np.frombuffer(buf, dtype=np.uint8).reshape(-1, 8), axis=1
+        ).astype(np.int64)
+        pm = 2 * bits - 1
+        offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+        np.cumsum(counts[nonempty][:-1], out=offsets[1:])
+        votes = np.add.reduceat(pm, offsets, axis=0)
+        weights = np.left_shift(
+            np.uint64(1), np.arange(63, -1, -1, dtype=np.uint64)
+        )
+        out[nonempty] = ((votes > 0).astype(np.uint64) * weights).sum(
+            axis=1, dtype=np.uint64
+        )
+    return pd.Series(out.view(np.int64))
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -87,6 +87,69 @@ def occurrences_from_edges(
     ).distinct()
 
 
+def occurrences_from_aggregator(
+    df: DataFrame,
+    node_col: str,
+    factor_aggregator,
+) -> DataFrame:
+    """(node, factor) table from a custom per-node factor aggregator.
+
+    The reference's ``factor_aggregator`` / ``aggregation_function`` hook
+    (generators.py:88-104, 176-195; exercised by cord19kg's
+    ``aggregate_paragraphs``, tests/preprocess/test_co_occurrence_generators.py:88-97):
+    an arbitrary Python function applied to all of a node's rows that returns
+    the node's factor collection. Spark-side this is an ``applyInPandas``
+    group map — the aggregator sees the node's full group as a pandas
+    DataFrame and returns any iterable of factors; Arrow moves the batches,
+    and the shuffle is one hash partitioning on the node key.
+
+    Use the pure-Catalyst builders (:func:`occurrences_from_node_property`,
+    :func:`occurrences_from_edges`) whenever the aggregation is expressible
+    as explode/union — this hook is the escape hatch for genuinely custom
+    Python aggregation logic, per the engine's UDF policy (SURVEY §2.12).
+    """
+    import pandas as pd
+
+    def emit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        factors = factor_aggregator(pdf)
+        uniq = sorted({str(f) for f in factors})
+        return pd.DataFrame({"node": [str(key[0])] * len(uniq), "factor": uniq})
+
+    return df.groupBy(F.col(node_col)).applyInPandas(
+        emit, schema="node string, factor string"
+    )
+
+
+def keep_top_n_nodes(
+    occ: DataFrame,
+    n: int,
+    min_occurrences: int | None = None,
+) -> DataFrame:
+    """Top-n frequent-vocabulary pruning of a (node, factor) table.
+
+    The reference's primary scale knob: keep only the ``n`` nodes with the
+    largest factor-set size before edge generation
+    (``nlargest(n_most_frequent, freq)``, cord19kg/utils.py:646-651 — "10,000
+    most frequent entities", README.rst:177-179), optionally dropping nodes
+    with fewer than ``min_occurrences`` factors first (utils.py:618-621).
+
+    Ties at the cutoff break deterministically by node id ascending (pandas
+    ``nlargest`` keeps first-encountered, which depends on frame order; a
+    distributed engine must pick a stable total order instead).
+
+    The surviving vocabulary is at most n rows — broadcast into the semi-join
+    for any n a co-occurrence analysis would use, so pruning costs one
+    aggregation and no extra shuffle of the occurrence table.
+    """
+    nf = occ.groupBy("node").agg(F.count("*").alias("_nf"))
+    if min_occurrences is not None:
+        nf = nf.filter(F.col("_nf") >= min_occurrences)
+    top = nf.orderBy(F.desc("_nf"), F.asc("node")).limit(n).select("node")
+    if n <= 5_000_000:
+        top = F.broadcast(top)
+    return occ.join(top, "node", "left_semi")
+
+
 def _pair_instances(occ: DataFrame, salt: int | None, salt_threshold: int) -> DataFrame:
     """One row per (s, t, factor) with s < t, via self-join on factor.
 

@@ -19,7 +19,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from bluegraph_spark.functions.text import simhash64, tokens_col, hamming64
+from itertools import combinations
+
+from bluegraph_spark.functions.text import (
+    hamming64,
+    simhash_signatures,
+    tokens_col,
+)
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -219,38 +225,66 @@ def simhash_pairs(
 ) -> DataFrame:
     """(id_a, id_b, hamming): near-dup pairs by 64-bit SimHash.
 
-    Banding: two docs within Hamming distance < chunks must agree exactly on
-    ≥1 of the ``chunks`` 16-bit chunks (pigeonhole), so candidates come from
-    an equi-join on (chunk_index, chunk_value), then exact Hamming verify.
+    Signatures come from :func:`simhash_signatures` — a pure Catalyst plan,
+    no Python UDF on the hot path.
+
+    Banding (Manku/Jain/Das Sarma, WWW'07 "Detecting Near-Duplicates for Web
+    Crawling"-style chunk combinations): split the 64 bits into ``chunks``
+    contiguous blocks. Two signatures within Hamming distance d ≤
+    ``max_hamming`` differ in at most d blocks, so they agree *exactly* on at
+    least ``chunks - max_hamming`` blocks — candidates are an equi-join on
+    every (combination of chunks-max_hamming blocks → concatenated value),
+    then an exact Hamming verify.
+
+    Bucket-size math (the scale knob): with k chunks and key size
+    q = k - max_hamming, each doc emits C(k, q) keys of ≈ 64·q/k bits, so an
+    N-doc corpus expects N / 2^(64q/k) docs per bucket and the candidate join
+    is quadratic in that. Defaults (k=4, d=3 → q=1, 16-bit keys) are fine to
+    ~10^6 docs; at 10^8-10^9 docs use e.g. chunks=6 (q=3, ~32-bit keys,
+    C(6,3)=20 keys/doc: buckets of N/2^32) — more emitted rows, exponentially
+    smaller buckets, identical verified output.
     """
-    width = 64 // chunks
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        simhash64(tokens_col(F.col(text_col))).alias("sig"),
-    )
-    chunked = sig.select(
+    if not (0 < chunks <= 64):
+        raise ValueError("chunks must be in 1..64")
+    # Pigeonhole completeness needs chunks > max_hamming. With fewer chunks
+    # the single-chunk banding is best-effort (recall < 1 possible) — kept
+    # for loose exploratory thresholds; exact pipelines should raise chunks.
+    keep = max(1, chunks - max_hamming)
+    # contiguous blocks, widths as equal as possible (64 need not divide)
+    base, extra = divmod(64, chunks)
+    widths = [base + (1 if c < extra else 0) for c in range(chunks)]
+    starts = [sum(widths[:c]) for c in range(chunks)]
+
+    def chunk_val(c: int):
+        return F.shiftright("sig", starts[c]).bitwiseAND(
+            F.lit((1 << widths[c]) - 1)
+        )
+
+    combos = list(combinations(range(chunks), keep))
+    sig = simhash_signatures(df, id_col, text_col)
+    banded = sig.select(
         "id",
         "sig",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright("sig", c * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("val"),
+                        F.lit(ci).alias("band"),
+                        F.struct(
+                            *[chunk_val(c).alias(f"c{j}") for j, c in enumerate(combo)]
+                        ).alias("key"),
                     )
-                    for c in range(chunks)
+                    for ci, combo in enumerate(combos)
                 ]
             )
-        ).alias("cv"),
-    ).select("id", "sig", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
-    a, b = chunked.alias("a"), chunked.alias("b")
+        ).alias("bk"),
+    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(
             b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.val") == F.col("b.val"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(

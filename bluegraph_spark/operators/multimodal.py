@@ -51,26 +51,42 @@ FEATURE_SCHEMA = StructType(
 
 
 def fake_byte_features(batch: pd.DataFrame) -> pd.DataFrame:
-    """Deterministic stand-in 'decode': byte statistics + 16-bin histogram."""
-    rows = []
-    for _, r in batch.iterrows():
-        buf = np.frombuffer(r["payload"] or b"", dtype=np.uint8)
-        if buf.size == 0:
-            rows.append((r["media_id"], r["kind"], 0, 0.0, 0.0, [0.0] * 16))
-            continue
-        hist, _ = np.histogram(buf, bins=16, range=(0, 256))
-        rows.append(
-            (
-                r["media_id"],
-                r["kind"],
-                int(buf.size),
-                float(buf.mean()),
-                float(buf.std()),
-                (hist / buf.size).tolist(),
-            )
+    """Deterministic stand-in 'decode': byte statistics + 16-bin histogram.
+
+    Vectorized over the whole Arrow batch: all payloads are concatenated into
+    one uint8 buffer and the per-row mean/std/histogram come from segmented
+    ``np.bincount`` reductions — no per-row Python, which is the entire point
+    of mapInPandas.
+    """
+    n = len(batch)
+    payloads = [b"" if p is None else bytes(p) for p in batch["payload"]]
+    sizes = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n)
+    means = np.zeros(n)
+    stds = np.zeros(n)
+    hists = np.zeros((n, 16))
+    nz = sizes > 0
+    if nz.any():
+        buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+        row_of = np.repeat(np.arange(n), sizes)
+        x = buf.astype(np.float64)
+        sums = np.bincount(row_of, weights=x, minlength=n)
+        sumsq = np.bincount(row_of, weights=x * x, minlength=n)
+        means[nz] = sums[nz] / sizes[nz]
+        stds[nz] = np.sqrt(
+            np.maximum(sumsq[nz] / sizes[nz] - means[nz] ** 2, 0.0)
         )
+        # bin b = byte >> 4, identical to np.histogram(bins=16, range=(0,256))
+        flat = np.bincount(row_of * 16 + (buf >> 4), minlength=n * 16)
+        hists[nz] = flat.reshape(n, 16)[nz] / sizes[nz, None]
     return pd.DataFrame(
-        rows, columns=["media_id", "kind", "n_bytes", "byte_mean", "byte_std", "histogram"]
+        {
+            "media_id": batch["media_id"].to_numpy(),
+            "kind": batch["kind"].to_numpy(),
+            "n_bytes": sizes,
+            "byte_mean": means,
+            "byte_std": stds,
+            "histogram": [h.tolist() for h in hists],
+        }
     )
 
 

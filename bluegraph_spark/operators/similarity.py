@@ -69,22 +69,64 @@ def cosine_topk(
     )
 
 
-def _plane_table(spark, dim: int, planes: int, seed: int) -> DataFrame:
-    """Deterministic pseudo-random hyperplanes: weight(p, d) in [-1, 1)."""
-    return (
-        spark.range(planes)
-        .withColumnRenamed("id", "plane")
-        .crossJoin(spark.range(dim).withColumnRenamed("id", "pos"))
-        .select(
-            "plane",
-            "pos",
-            (
-                (F.abs(F.xxhash64(F.lit(seed), "plane", "pos")) % F.lit(2**52))
-                / F.lit(float(2**51))
-                - 1.0
-            ).alias("w"),
-        )
-    )
+# -- deterministic hyperplanes ------------------------------------------------
+#
+# Plane weight (p, d) = (|xxhash64(seed, p, d)| % 2^52) / 2^51 - 1, exactly as
+# the engine originally computed Spark-side. The hash is now replicated on the
+# driver (XXH64 over an int + two longs, the same algorithm Spark's
+# ``F.xxhash64`` runs; verified value-identical) so the planes become LITERAL
+# arrays in the plan: the signature is a pure projection — no posexplode, no
+# plane join, no groupBy, no plan-build-time action. planes × dim doubles is
+# a few KB of literals for any sane configuration.
+
+_P1, _P2, _P3, _P4, _P5 = (
+    0x9E3779B185EBCA87,
+    0xC2B2AE3D27D4EB4F,
+    0x165667B19E3779F9,
+    0x85EBCA77C2B2AE63,
+    0x27D4EB2F165667C5,
+)
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _xxh_long(value: int, seed: int) -> int:
+    h = (seed + _P5 + 8) & _M64
+    k1 = (_rotl((value * _P2) & _M64, 31) * _P1) & _M64
+    h = (_rotl(h ^ k1, 27) * _P1 + _P4) & _M64
+    return _fmix(h)
+
+
+def _xxh_int(value: int, seed: int) -> int:
+    h = (seed + _P5 + 4) & _M64
+    h ^= ((value & 0xFFFFFFFF) * _P1) & _M64
+    h = (_rotl(h, 23) * _P2 + _P3) & _M64
+    return _fmix(h)
+
+
+def _plane_weight(seed: int, plane: int, pos: int) -> float:
+    h = _xxh_long(pos, _xxh_long(plane, _xxh_int(seed, 42)))
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return (abs(h) % (1 << 52)) / float(1 << 51) - 1.0
+
+
+def _plane_weights(dim: int, planes: int, seed: int) -> list[list[float]]:
+    return [
+        [_plane_weight(seed, p, d) for d in range(dim)] for p in range(planes)
+    ]
 
 
 def lsh_signatures(
@@ -93,35 +135,81 @@ def lsh_signatures(
     vec_col: str = "embedding",
     planes: int = 12,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """(id, bucket): sign-bit bucket of each vector under ``planes``
-    deterministic hyperplanes."""
-    spark = df.sparkSession
-    dim = len(df.select(vec_col).first()[0])
-    pl = _plane_table(spark, dim, planes, seed)
-    flat = df.select(
-        F.col(id_col).alias("id"), F.posexplode(vec_col).alias("pos", "x")
-    )
-    bits = (
-        flat.join(F.broadcast(pl), "pos")
-        .groupBy("id", "plane")
-        .agg(F.sum(F.col("x").cast("double") * F.col("w")).alias("proj"))
-        .groupBy("id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct("plane", F.when(F.col("proj") >= 0, "1").otherwise("0").alias("b"))
-                        )
-                    ),
-                    lambda s: s["b"],
-                ),
-                "",
-            ).alias("bucket")
+    deterministic hyperplanes — a pure column projection, zero shuffles.
+
+    Pass ``dim`` (the embedding width) to keep plan construction action-free;
+    if omitted, a one-row peek reads it from the data (convenience for ad-hoc
+    use only).
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    weights = _plane_weights(dim, planes, seed)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bits = [
+        F.when(
+            _dot(v, F.array(*[F.lit(w) for w in row])) >= 0, "1"
+        ).otherwise("0")
+        for row in weights
+    ]
+    return df.select(F.col(id_col).alias("id"), F.concat(*bits).alias("bucket"))
+
+
+def _probe_buckets(sig: DataFrame, planes: int, multiprobe: int) -> DataFrame:
+    """Expand each (id, bucket) row to the probe set: the bucket itself plus,
+    with ``multiprobe`` ≥ 1, every bucket at Hamming distance 1 (each sign
+    bit flipped once). Multi-probe LSH (Lv et al., VLDB'07): querying the
+    adjacent buckets recovers neighbors that fell just across one hyperplane
+    — the dominant failure mode — for a (planes+1)× probe cost instead of
+    extra tables over the whole corpus."""
+    if multiprobe <= 0:
+        return sig
+    probes = [F.col("bucket")]
+    for i in range(planes):
+        probes.append(
+            F.concat(
+                F.substring("bucket", 1, i),
+                F.when(F.substring("bucket", i + 1, 1) == "1", "0").otherwise("1"),
+                F.substring("bucket", i + 2, planes - i - 1),
+            )
         )
+    return sig.select(
+        "id", F.explode(F.array(*probes)).alias("bucket")
     )
-    return bits
+
+
+def lsh_candidate_pairs(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 12,
+    tables: int = 3,
+    seed: int = 42,
+    dim: int | None = None,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Distinct (query_id, neighbor_id) candidate pairs sharing a bucket in
+    ≥1 of ``tables`` LSH tables (query side optionally multi-probed). The
+    candidate count / (|queries|·|corpus|) ratio is the honest cost metric
+    of an LSH configuration — bench.py reports it next to recall@k."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    cand = None
+    for t in range(tables):
+        qs = _probe_buckets(
+            lsh_signatures(queries, id_col, vec_col, planes, seed + 1000 * t, dim=dim),
+            planes,
+            multiprobe,
+        )
+        cs = lsh_signatures(corpus, id_col, vec_col, planes, seed + 1000 * t, dim=dim)
+        pairs = qs.withColumnRenamed("id", "query_id").join(
+            cs.withColumnRenamed("id", "neighbor_id"), "bucket"
+        ).select("query_id", "neighbor_id")
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    return cand.filter(F.col("query_id") != F.col("neighbor_id")).distinct()
 
 
 def lsh_cosine_topk(
@@ -133,20 +221,29 @@ def lsh_cosine_topk(
     planes: int = 12,
     tables: int = 3,
     seed: int = 42,
+    dim: int | None = None,
+    multiprobe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: union of ``tables`` independent LSH tables, exact
-    cosine inside shared buckets, top-k per query."""
+    cosine inside shared buckets, top-k per query.
+
+    ``multiprobe=1`` (default) also probes every bucket at Hamming distance 1
+    from each query's bucket — substantially higher recall at a (planes+1)×
+    query-side (not corpus-side) bucket fan-out. Set 0 for exact-bucket-only.
+
+    Recall is data-dependent: with sign LSH the per-table collision
+    probability of a neighbor at angle θ is (1-θ/π)^planes, so corpora whose
+    true neighbors are low-cosine (flat similarity spectrum) need more
+    tables/probes or fewer planes — measure with recall@k against
+    :func:`cosine_topk` on a sample (bench.py does exactly this).
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     q = _prep(queries, id_col, vec_col, "q")
     c = _prep(corpus, id_col, vec_col, "c")
-    cand = None
-    for t in range(tables):
-        qs = lsh_signatures(queries, id_col, vec_col, planes, seed + 1000 * t)
-        cs = lsh_signatures(corpus, id_col, vec_col, planes, seed + 1000 * t)
-        pairs = qs.withColumnRenamed("id", "query_id").join(
-            cs.withColumnRenamed("id", "neighbor_id"), "bucket"
-        ).select("query_id", "neighbor_id")
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.filter(F.col("query_id") != F.col("neighbor_id")).distinct()
+    cand = lsh_candidate_pairs(
+        queries, corpus, id_col, vec_col, planes, tables, seed, dim, multiprobe
+    )
     scored = (
         cand.join(q.withColumnRenamed("q_id", "query_id"), "query_id")
         .join(c.withColumnRenamed("c_id", "neighbor_id"), "neighbor_id")

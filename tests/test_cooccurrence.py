@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 from bluegraph_spark.operators.cooccurrence import (
     cooccurrence_edges,
     cooccurrence_edges_multiset,
+    keep_top_n_nodes,
+    occurrences_from_aggregator,
     occurrences_from_edges,
     occurrences_from_node_property,
 )
@@ -127,6 +129,75 @@ def test_generation_from_edge_property_aggregator(spark):
     out = cooccurrence_edges(occ, statistics=["frequency", "ppmi", "npmi"])
     got = {(r.src, r.dst): r.frequency for r in out.collect()}
     assert got == {("a", "b"): 4, ("b", "c"): 1, ("a", "c"): 4}
+
+
+def test_factor_aggregator_hook(spark):
+    # applyInPandas hook replicating the reference's aggregate_paragraphs
+    # (test_co_occurrence_generators.py:88-103): a node's factors = union of
+    # its per-edge paragraph sets, via an arbitrary Python aggregator.
+    edges = [
+        ("a", "P1", ["1", "2", "3"]),
+        ("a", "P2", ["11", "22", "33"]),
+        ("a", "P3", ["111", "222", "333"]),
+        ("b", "P2", ["22", "33"]),
+        ("b", "P3", ["222", "333"]),
+        ("c", "P1", ["1", "3"]),
+        ("c", "P3", ["111", "333"]),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, paragraphs array<string>")
+
+    def aggregate_paragraphs(data):
+        return set(sum(data["paragraphs"].apply(list), []))
+
+    occ = occurrences_from_aggregator(df, "src", aggregate_paragraphs)
+    out = cooccurrence_edges(occ, statistics=["frequency", "ppmi", "npmi"])
+    rows = {(r.src, r.dst): r for r in out.collect()}
+    assert {k: v.frequency for k, v in rows.items()} == {
+        ("a", "b"): 4,
+        ("b", "c"): 1,
+        ("a", "c"): 4,
+    }
+    # s_freq(a)=9, s_freq(b)=4, s_freq(c)=4; default total = |∪ factors| = 9
+    assert rows[("a", "b")].ppmi == pytest.approx(mi_oracle(4, 9, 4, 9), abs=1e-12)
+    assert rows[("a", "b")].npmi == pytest.approx(
+        mi_oracle(4, 9, 4, 9, "normalized"), abs=1e-12
+    )
+    assert rows[("b", "c")].npmi == pytest.approx(
+        mi_oracle(1, 4, 4, 9, "normalized"), abs=1e-12
+    )
+
+
+def test_keep_top_n_nodes_nlargest(spark):
+    # reference semantics: graph._nodes.nlargest(n, freq).index
+    # (cord19kg/utils.py:646-651) — keep the n nodes with most factors.
+    import pandas as pd
+
+    rows = []
+    counts = {"a": 5, "b": 4, "c": 3, "d": 2, "e": 1}
+    for node, c in counts.items():
+        rows += [(node, f"f{i}") for i in range(c)]
+    occ = spark.createDataFrame(rows, "node string, factor string")
+
+    pdf = pd.DataFrame({"freq": counts}).rename_axis("id")
+    want = set(pdf.nlargest(3, "freq").index)
+    got = {r.node for r in keep_top_n_nodes(occ, 3).select("node").distinct().collect()}
+    assert got == want == {"a", "b", "c"}
+
+    # min_occurrences pre-filter (utils.py:618-621)
+    got2 = {
+        r.node
+        for r in keep_top_n_nodes(occ, 10, min_occurrences=3)
+        .select("node")
+        .distinct()
+        .collect()
+    }
+    assert got2 == {"a", "b", "c"}
+
+    # deterministic tie-break: ties at the cutoff keep smallest node id
+    tie_rows = [("x", "f1"), ("x", "f2"), ("y", "f1"), ("y", "f2"), ("z", "f1")]
+    occ2 = spark.createDataFrame(tie_rows, "node string, factor string")
+    got3 = {r.node for r in keep_top_n_nodes(occ2, 1).select("node").distinct().collect()}
+    assert got3 == {"x"}
 
 
 def test_common_factors_and_pruning(spark, node_occurrences):

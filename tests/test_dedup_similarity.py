@@ -125,6 +125,18 @@ def test_cosine_topk_exact(spark, vectors):
             assert cos == pytest.approx(wcos, abs=1e-9)
 
 
+def test_lsh_recall_floor_at_defaults(spark, vectors):
+    """recall@5 ≥ 0.8 at the DEFAULT planes/tables/multiprobe on clustered
+    vectors (the regime LSH is for: true neighbors actually close)."""
+    exact = py_topk(rng_vectors(40), 5)
+    approx = {}
+    for r in lsh_cosine_topk(vectors, vectors, 5, dim=16).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(approx.get(q, set()) & {j for j, _ in exact[q]}) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    assert hits / total >= 0.8
+
+
 def test_lsh_recall_reasonable(spark, vectors):
     exact = py_topk(rng_vectors(40), 3)
     approx = {}
