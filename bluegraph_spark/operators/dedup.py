@@ -69,7 +69,11 @@ def jaccard_pairs(
 ) -> DataFrame:
     """(id_a, id_b, jaccard): exact n-gram Jaccard over all pairs sharing at
     least one shingle. ``shingle_freq_cap`` drops stopword-like shingles
-    (same skew story as co-occurrence factors)."""
+    (same skew story as co-occurrence factors).
+
+    Eager: the (threshold-pruned, small) result is materialized via
+    ``localCheckpoint`` so the shingle cache shared by the size counts and
+    both join sides is released before returning."""
     sh = shingle_table(df, id_col, text_col, n).persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     if shingle_freq_cap is not None:
@@ -96,6 +100,8 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    out = out.localCheckpoint()
+    sh.unpersist()
     return out
 
 
@@ -139,6 +145,13 @@ def minhash_lsh_candidates(
     bands must divide num_hashes; rows-per-band r = num_hashes/bands gives
     the usual S-curve threshold ≈ (1/bands)^(1/r). ``shingles`` optionally
     supplies a pre-built (id, shingle) table to avoid re-shingling.
+
+    Documents with ZERO shingles (fewer than ``n`` tokens) have no MinHash
+    signature and are excluded from candidates entirely — intentional:
+    their Jaccard similarity to anything is 0/undefined, and the earlier
+    behavior (all-null signatures colliding into one giant bucket pairing
+    every short doc with every other) was both wrong and a skew bomb.
+    Pair empty documents with :func:`exact_duplicates` instead.
     """
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
@@ -188,7 +201,10 @@ def minhash_dedup_pairs(
     The shingle table is materialized once (persisted) and shared by the
     signature aggregation, the size counts, and both sides of the
     verification join — shingling the corpus is the dominant cost and
-    running it four times is 3x wasted work at any scale.
+    running it four times is 3x wasted work at any scale. Eager: the small
+    verified-pair result is localCheckpoint'ed and the shingle cache
+    released before returning. Zero-shingle documents are excluded (see
+    :func:`minhash_lsh_candidates`).
     """
     sh = shingle_table(df, id_col, text_col, n).persist()
     cands = minhash_lsh_candidates(
@@ -203,7 +219,7 @@ def minhash_dedup_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
-    return (
+    out = (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
         .withColumn(
@@ -214,6 +230,9 @@ def minhash_dedup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    out = out.localCheckpoint()
+    sh.unpersist()
+    return out
 
 
 def simhash_pairs(

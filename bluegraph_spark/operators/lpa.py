@@ -58,7 +58,13 @@ def label_propagation(
     resume: bool = False,
     partitions: int | None = None,
 ) -> LPAResult:
-    """Deterministic synchronous LPA over undirected ``(src, dst[, w])``."""
+    """Deterministic synchronous LPA over undirected ``(src, dst[, w])``.
+
+    NOT re-entrant on a shared session: like :func:`pagerank`, the superstep
+    loop sets session-global conf (AQE off, shuffle width = n_parts) and
+    restores it in a ``finally`` — plan concurrent queries on a separate
+    session (``spark.newSession()``).
+    """
     spark = edges.sparkSession
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     e = symmetrize_edges(
@@ -97,6 +103,8 @@ def label_propagation(
         start_iter = checkpointer.latest()
         labels = checkpointer.load(spark, start_iter)
         if checkpointer.load_metrics(start_iter).get("converged"):
+            e0.unpersist()
+            e.unpersist()
             return LPAResult(
                 labels.select("id", "label"), start_iter, True,
                 checkpointer.metrics_log(),
@@ -172,6 +180,6 @@ def label_propagation(
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         spark.conf.set("spark.sql.shuffle.partitions", str(conf_parts))
+        e.unpersist()
 
-    e.unpersist()
     return LPAResult(labels.select("id", "label"), it, converged, history)

@@ -136,6 +136,7 @@ def modularity(
     m_row = el.agg(F.sum("w").alias("m")).collect()[0]
     m = float(m_row["m"] or 0.0)
     if m == 0:
+        el.unpersist()
         return 0.0
     # community degree sums (each edge contributes w to both endpoints)
     dsum = (

@@ -68,6 +68,17 @@ def pagerank(
     (fixed-iteration mode, used by the DuckDB differential oracle).
     ``resume=True`` continues from the checkpointer's latest complete
     superstep.
+
+    NOT re-entrant on a shared session: for the duration of the superstep
+    loop this function sets session-global conf (``spark.sql.adaptive.
+    enabled=false`` and ``spark.sql.shuffle.partitions=n_parts``) and
+    restores both in a ``finally``. Any query *planned concurrently on the
+    same SparkSession from another driver thread* would pick those values
+    up. Run concurrent workloads on separate sessions
+    (``spark.newSession()``), or plan them before/after the loop. (Scoping
+    per-query is not expressible: AQE and the shuffle width are plan-time
+    session properties, and the exchange-free superstep join depends on
+    both.)
     """
     spark = edges.sparkSession
     src, dst = "src", "dst"
@@ -131,7 +142,13 @@ def pagerank(
 
     N = vertices.count()
     if N == 0:
-        empty = spark.createDataFrame([], "id string, rank double")
+        e.unpersist()
+        out.unpersist()
+        norm.unpersist()
+        # empty result keeps the caller's id type (vertices schema), not a
+        # hardcoded string — unioning/joining against pagerank output must
+        # see one consistent type contract whether or not the graph is empty
+        empty = vertices.withColumn("rank", F.lit(0.0)).select("id", "rank")
         return PageRankResult(empty, 0, True, 0.0)
 
     history: list[dict[str, Any]] = []
@@ -144,6 +161,9 @@ def pagerank(
         danglesum = last["danglesum"]
         err = last.get("err", float("inf"))
         if last.get("converged"):
+            e.unpersist()
+            out.unpersist()
+            norm.unpersist()
             return PageRankResult(
                 state.select("id", "rank"), start_iter, True, err, checkpointer.metrics_log()
             )
@@ -251,9 +271,9 @@ def pagerank(
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         spark.conf.set("spark.sql.shuffle.partitions", str(conf_parts))
+        norm.unpersist()
+        out.unpersist()
 
-    norm.unpersist()
-    out.unpersist()
     return PageRankResult(state.select("id", "rank"), it, converged, err, history)
 
 

@@ -27,6 +27,35 @@ from typing import Iterable, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC_SPARK_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+)
+
+PROP_TYPES = ("category", "text", "numeric")
+
+
+def _is_numeric_field(dt: T.DataType) -> bool:
+    return isinstance(dt, _NUMERIC_SPARK_TYPES)
+
+
+def _infer_prop_types(df: DataFrame, skip: tuple[str, ...]) -> dict[str, str]:
+    """Reference default typing (core/io.py:261-274): numeric columns →
+    'numeric', everything else (strings, arrays, the 'type' column) →
+    'category'."""
+    out: dict[str, str] = {}
+    for f in df.schema.fields:
+        if f.name in skip:
+            continue
+        out[f.name] = "numeric" if _is_numeric_field(f.dataType) else "category"
+    return out
 
 
 def canonicalize_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -79,6 +108,101 @@ class SparkPGFrame:
         if not directed:
             self._edges = canonicalize_edges(self._edges)
         self.directed = directed
+        # property-type side metadata (reference core/io.py:44-45, 261-274):
+        # 'category' | 'text' | 'numeric' per property; defaults inferred
+        # from the Spark schema. Survives derivation/rename; consumed by
+        # encoders / export (SURVEY §1.3).
+        self._node_prop_types = _infer_prop_types(self._nodes, ("id",))
+        self._edge_prop_types = _infer_prop_types(self._edges, ("src", "dst"))
+
+    def _derived(
+        self,
+        nodes: DataFrame,
+        edges: DataFrame,
+        node_renames: dict[str, str] | None = None,
+        edge_renames: dict[str, str] | None = None,
+    ) -> "SparkPGFrame":
+        """New frame carrying over property-type metadata for surviving
+        (possibly renamed) columns; brand-new columns get inferred types."""
+        out = SparkPGFrame(nodes, edges, directed=self.directed)
+        nr = node_renames or {}
+        er = edge_renames or {}
+        for k, v in self._node_prop_types.items():
+            k2 = nr.get(k, k)
+            if k2 in out._node_prop_types:
+                out._node_prop_types[k2] = v
+        for k, v in self._edge_prop_types.items():
+            k2 = er.get(k, k)
+            if k2 in out._edge_prop_types:
+                out._edge_prop_types[k2] = v
+        return out
+
+    # ---- property-type surface (reference core/io.py:247-330) ----------
+
+    @staticmethod
+    def _valid_prop_type(df: DataFrame, prop: str, prop_type: str) -> bool:
+        dt = df.schema[prop].dataType
+        if prop_type == "text":
+            return isinstance(dt, T.StringType)
+        if prop_type == "numeric":
+            return _is_numeric_field(dt)
+        return True
+
+    def _set_node_prop_type(self, prop: str, prop_type: str) -> None:
+        if prop not in self._nodes.columns or prop == "id":
+            raise ValueError(f"no such node property: {prop!r}")
+        if not self._valid_prop_type(self._nodes, prop, prop_type):
+            raise ValueError(
+                f"Cannot cast the values of the node property {prop!r} "
+                f"to {prop_type!r}"
+            )
+        self._node_prop_types[prop] = prop_type
+
+    def _set_edge_prop_type(self, prop: str, prop_type: str) -> None:
+        if prop not in self._edges.columns or prop in ("src", "dst"):
+            raise ValueError(f"no such edge property: {prop!r}")
+        if not self._valid_prop_type(self._edges, prop, prop_type):
+            raise ValueError(
+                f"Cannot cast the values of the edge property {prop!r} "
+                f"to {prop_type!r}"
+            )
+        self._edge_prop_types[prop] = prop_type
+
+    def node_prop_as_category(self, prop: str) -> None:
+        self._set_node_prop_type(prop, "category")
+
+    def node_prop_as_text(self, prop: str) -> None:
+        self._set_node_prop_type(prop, "text")
+
+    def node_prop_as_numeric(self, prop: str) -> None:
+        self._set_node_prop_type(prop, "numeric")
+
+    def edge_prop_as_category(self, prop: str) -> None:
+        self._set_edge_prop_type(prop, "category")
+
+    def edge_prop_as_text(self, prop: str) -> None:
+        self._set_edge_prop_type(prop, "text")
+
+    def edge_prop_as_numeric(self, prop: str) -> None:
+        self._set_edge_prop_type(prop, "numeric")
+
+    def is_categorical_node_prop(self, prop: str) -> bool:
+        return self._node_prop_types.get(prop) == "category"
+
+    def is_text_node_prop(self, prop: str) -> bool:
+        return self._node_prop_types.get(prop) == "text"
+
+    def is_numeric_node_prop(self, prop: str) -> bool:
+        return self._node_prop_types.get(prop) == "numeric"
+
+    def is_categorical_edge_prop(self, prop: str) -> bool:
+        return self._edge_prop_types.get(prop) == "category"
+
+    def is_text_edge_prop(self, prop: str) -> bool:
+        return self._edge_prop_types.get(prop) == "text"
+
+    def is_numeric_edge_prop(self, prop: str) -> bool:
+        return self._edge_prop_types.get(prop) == "numeric"
 
     # ---- constructors -------------------------------------------------
 
@@ -157,7 +281,7 @@ class SparkPGFrame:
             )
             if nodes is None:
                 n = n.join(endpoint_ids, "id", "left_semi")
-        out = SparkPGFrame(n, e, directed=self.directed)
+        out = self._derived(n, e)
         if remove_isolated_nodes:
             out = out.remove_isolated_nodes()
         return out
@@ -170,11 +294,11 @@ class SparkPGFrame:
             self._edges.join(ids_df.withColumnRenamed("id", "src"), "src", "left_anti")
             .join(ids_df.withColumnRenamed("id", "dst"), "dst", "left_anti")
         )
-        return SparkPGFrame(n, e, directed=self.directed)
+        return self._derived(n, e)
 
     def remove_edges(self, pairs: DataFrame) -> "SparkPGFrame":
         e = self._edges.join(pairs.select("src", "dst"), ["src", "dst"], "left_anti")
-        return SparkPGFrame(self._nodes, e, directed=self.directed)
+        return self._derived(self._nodes, e)
 
     def rename_nodes(self, mapping: DataFrame) -> "SparkPGFrame":
         """Id remap on nodes and both edge endpoints (core/io.py:840-857).
@@ -196,7 +320,7 @@ class SparkPGFrame:
             .withColumn("dst", F.coalesce("new_id", "dst"))
             .drop("new_id")
         )
-        return SparkPGFrame(n, e, directed=self.directed)
+        return self._derived(n, e)
 
     # ---- properties (core/io.py:792-904) -------------------------------
 
@@ -229,7 +353,7 @@ class SparkPGFrame:
                             )
                         ),
                     ).drop(old)
-        return SparkPGFrame(n, self._edges, directed=self.directed)
+        return self._derived(n, self._edges)
 
     def add_edge_properties(self, props: DataFrame) -> "SparkPGFrame":
         new_cols = [c for c in props.columns if c not in ("src", "dst")]
@@ -238,32 +362,36 @@ class SparkPGFrame:
             if c in e.columns:
                 e = e.drop(c)
         e = e.join(props, ["src", "dst"], "left")
-        return SparkPGFrame(self._nodes, e, directed=self.directed)
+        return self._derived(self._nodes, e)
 
     def remove_node_properties(self, *cols: str) -> "SparkPGFrame":
-        return SparkPGFrame(self._nodes.drop(*cols), self._edges, directed=self.directed)
+        return self._derived(self._nodes.drop(*cols), self._edges)
 
     def remove_edge_properties(self, *cols: str) -> "SparkPGFrame":
-        return SparkPGFrame(self._nodes, self._edges.drop(*cols), directed=self.directed)
+        return self._derived(self._nodes, self._edges.drop(*cols))
 
     def rename_node_properties(self, mapping: dict[str, str]) -> "SparkPGFrame":
         n = self._nodes
         for a, b in mapping.items():
             n = n.withColumnRenamed(a, b)
-        return SparkPGFrame(n, self._edges, directed=self.directed)
+        return self._derived(n, self._edges, node_renames=mapping)
 
     def rename_edge_properties(self, mapping: dict[str, str]) -> "SparkPGFrame":
         e = self._edges
         for a, b in mapping.items():
             e = e.withColumnRenamed(a, b)
-        return SparkPGFrame(self._nodes, e, directed=self.directed)
+        return self._derived(self._nodes, e, edge_renames=mapping)
 
     # ---- aggregation (core/io.py:1091-1098; core/utils.py:43-56) -------
 
     def aggregate_duplicate_nodes(self) -> "SparkPGFrame":
         """Group duplicate ids; array props merged by sorted set-union, scalar
         props by max (a deterministic stand-in for the reference's
-        singleton-unwrap-or-set merge — schemas stay stable in Spark)."""
+        singleton-unwrap-or-set merge, core/utils.py:43-56 — Spark columns
+        cannot change type per row, so schemas stay stable). The array-prop
+        union path matches the reference's set merge exactly
+        (tests/test_pgframe_io.py::test_aggregate_duplicate_nodes_array_union);
+        the scalar-by-max rule is the documented divergence (SURVEY §2.3)."""
         aggs = []
         for field in self._nodes.schema.fields:
             if field.name == "id":
@@ -277,7 +405,7 @@ class SparkPGFrame:
             else:
                 aggs.append(F.max(field.name).alias(field.name))
         n = self._nodes.groupBy("id").agg(*aggs) if aggs else self._nodes.distinct()
-        return SparkPGFrame(n, self._edges, directed=self.directed)
+        return self._derived(n, self._edges)
 
     # ---- structure metrics (core/io.py:610-615, 1069-1075, 1237-1252) --
 
@@ -311,7 +439,7 @@ class SparkPGFrame:
 
     def remove_isolated_nodes(self) -> "SparkPGFrame":
         n = self._nodes.join(self.endpoint_ids(), "id", "left_semi")
-        return SparkPGFrame(n, self._edges, directed=self.directed)
+        return self._derived(n, self._edges)
 
     # ---- point lookups (core/io.py:1037-1067; tests only — driver-side) --
 
@@ -339,23 +467,84 @@ class SparkPGFrame:
     # ---- JSON / CSV round-trips (core/io.py:529-548, 1133-1142, 1254-1311)
 
     def to_json(self) -> dict:
-        """Driver-side dict {nodes: [...], edges: [...]} — the reference's
-        export shape (core/io.py:1254-1270). Collects; test-fixture scale
-        only (the bulk path is parquet/Iceberg via DataFrame writers)."""
+        """Driver-side dict in the REFERENCE export shape (core/io.py:1254-
+        1283): node rows keyed ``@id``/``@type``, edge rows keyed
+        ``@source_id``/``@target_id``/``@type``, null-valued entries dropped
+        per row (the reference's ``r.dropna()``), plus the
+        ``node_property_types`` / ``edge_property_types`` maps. ``directed``
+        is an engine extension the reference omits (PandasPGFrame carries no
+        directedness); readers ignore unknown keys. Collects; test-fixture
+        scale only (the bulk path is parquet/Iceberg via DataFrame writers).
+        """
+
+        def rows(df: DataFrame, renames: dict[str, str]) -> list[dict]:
+            out = []
+            for r in df.collect():
+                d = r.asDict(recursive=True)
+                out.append(
+                    {renames.get(k, k): v for k, v in d.items() if v is not None}
+                )
+            return out
+
+        def typed(types: dict[str, str]) -> dict[str, str]:
+            return {("@type" if k == "type" else k): v for k, v in types.items()}
+
         return {
             "directed": self.directed,
-            "nodes": [r.asDict(recursive=True) for r in self._nodes.collect()],
-            "edges": [r.asDict(recursive=True) for r in self._edges.collect()],
+            "nodes": rows(self._nodes, {"id": "@id", "type": "@type"}),
+            "edges": rows(
+                self._edges,
+                {"src": "@source_id", "dst": "@target_id", "type": "@type"},
+            ),
+            "node_property_types": typed(self._node_prop_types),
+            "edge_property_types": typed(self._edge_prop_types),
         }
 
     @classmethod
     def from_json(cls, spark, payload: dict) -> "SparkPGFrame":
-        """Inverse of to_json (reference load_json, core/io.py:1272-1311)."""
+        """Inverse of to_json (reference from_json, core/io.py:1285-1298).
+
+        Accepts reference-keyed rows (``@id``/``@source_id``/``@target_id``/
+        ``@type``) and, for backward compatibility, the engine's plain
+        ``id``/``src``/``dst`` keys. Empty node/edge lists produce frames
+        with explicit minimal schemas instead of crashing schema inference
+        (the reference builds an empty indexed DataFrame, core/io.py:1291-
+        1295).
+        """
         import pandas as pd
 
-        nodes = spark.createDataFrame(pd.DataFrame(payload["nodes"]))
-        edges = spark.createDataFrame(pd.DataFrame(payload["edges"]))
-        return cls(nodes, edges, directed=payload.get("directed", False))
+        def norm(rows: list[dict], renames: dict[str, str]) -> list[dict]:
+            return [
+                {renames.get(k, k): v for k, v in r.items()} for r in rows
+            ]
+
+        node_rows = norm(
+            payload.get("nodes", []), {"@id": "id", "@type": "type"}
+        )
+        edge_rows = norm(
+            payload.get("edges", []),
+            {"@source_id": "src", "@target_id": "dst", "@type": "type"},
+        )
+        if node_rows:
+            npdf = pd.DataFrame(node_rows)
+            nodes = spark.createDataFrame(npdf.where(pd.notnull(npdf), None))
+        else:
+            nodes = spark.createDataFrame([], "id string")
+        if edge_rows:
+            epdf = pd.DataFrame(edge_rows)
+            edges = spark.createDataFrame(epdf.where(pd.notnull(epdf), None))
+        else:
+            edges = spark.createDataFrame([], "src string, dst string")
+        out = cls(nodes, edges, directed=payload.get("directed", False))
+        for key, attr in (
+            ("node_property_types", "_node_prop_types"),
+            ("edge_property_types", "_edge_prop_types"),
+        ):
+            for k, v in payload.get(key, {}).items():
+                k2 = "type" if k == "@type" else k
+                if k2 in getattr(out, attr):
+                    getattr(out, attr)[k2] = v
+        return out
 
     def export_json(self, path: str) -> None:
         import json

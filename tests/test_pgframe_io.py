@@ -52,6 +52,74 @@ def test_csv_roundtrip(spark, small_pg, tmp_path):
     assert back.get_edge_property_values("mi")[("a", "b")] == 0.5
 
 
+def test_json_reference_shape(spark, small_pg):
+    """Export keys match the reference (core/io.py:1254-1283): @id /
+    @source_id / @target_id / @type plus property-type maps, nulls dropped."""
+    payload = small_pg.to_json()
+    assert {"@id", "score", "@type"} == set(payload["nodes"][0].keys())
+    assert {"@source_id", "@target_id", "mi"} == set(payload["edges"][0].keys())
+    assert payload["node_property_types"] == {"score": "numeric", "@type": "category"}
+    assert payload["edge_property_types"] == {"mi": "numeric"}
+    back = SparkPGFrame.from_json(spark, payload)
+    assert back.get_node("b")["score"] == 2.0
+    assert back.is_numeric_node_prop("score") and back.is_categorical_node_prop("type")
+
+
+def test_json_nulls_dropped_and_restored(spark):
+    nodes = spark.createDataFrame(
+        [("a", 1.0), ("b", None)], "id string, score double"
+    )
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    pg = SparkPGFrame(nodes, edges)
+    payload = pg.to_json()
+    b_row = next(r for r in payload["nodes"] if r["@id"] == "b")
+    assert "score" not in b_row  # reference r.dropna() semantics
+    back = SparkPGFrame.from_json(spark, payload)
+    assert back.get_node("b")["score"] is None
+
+
+def test_json_empty_frames(spark):
+    pg = SparkPGFrame(
+        spark.createDataFrame([], "id string"),
+        spark.createDataFrame([], "src string, dst string"),
+    )
+    back = SparkPGFrame.from_json(spark, pg.to_json())
+    assert back.number_of_nodes() == 0 and back.number_of_edges() == 0
+
+
+def test_prop_type_surface(spark, small_pg):
+    # defaults: numeric column -> numeric, array -> category
+    assert small_pg.is_numeric_node_prop("score")
+    assert small_pg.is_categorical_node_prop("type")
+    assert small_pg.is_numeric_edge_prop("mi")
+    # setters validate against the Spark schema (core/io.py:247-259)
+    small_pg.node_prop_as_category("score")
+    assert small_pg.is_categorical_node_prop("score")
+    small_pg.node_prop_as_numeric("score")
+    with pytest.raises(ValueError):
+        small_pg.node_prop_as_numeric("type")  # array is not numeric
+    with pytest.raises(ValueError):
+        small_pg.edge_prop_as_text("mi")  # double is not text
+    # metadata survives derivation and renames
+    renamed = small_pg.rename_node_properties({"score": "s2"})
+    assert renamed.is_numeric_node_prop("s2")
+    sub = small_pg.subgraph(nodes=["a", "b"])
+    assert sub.is_numeric_node_prop("score") and sub.is_numeric_edge_prop("mi")
+
+
+def test_aggregate_duplicate_nodes_array_union(spark):
+    """Array props merge by set union like the reference's safe merge
+    (core/utils.py:43-56); scalars by max (documented divergence)."""
+    nodes = spark.createDataFrame(
+        [("a", ["X"], 1.0), ("a", ["Y", "X"], 2.0), ("b", ["Z"], 3.0)],
+        "id string, type array<string>, score double",
+    )
+    edges = spark.createDataFrame([], "src string, dst string")
+    agg = SparkPGFrame(nodes, edges).aggregate_duplicate_nodes()
+    got = {r["id"]: (r["type"], r["score"]) for r in agg.nodes().collect()}
+    assert got == {"a": (["X", "Y"], 2.0), "b": (["Z"], 3.0)}
+
+
 def test_point_lookups_missing(small_pg):
     assert small_pg.get_node("zz") is None
     assert small_pg.get_edge("a", "c") is None
