@@ -142,6 +142,58 @@ def q_cooc_top_parts(spark, sf_dir):
     )
 
 
+def q_cooc_parts_mi_variants(spark, sf_dir):
+    """expected / pmi2 / pmi3 statistic variants (reference mutual_information
+    mitype branches, generators.py:47-66)."""
+    e = _part_edges(spark, sf_dir, ["frequency", "expected", "pmi2", "pmi3"])
+    return e.select(
+        "src",
+        "dst",
+        F.col("frequency").cast("long").alias("frequency"),
+        F.round("expected", 8).alias("expected"),
+        F.round("pmi2", 8).alias("pmi2"),
+        F.round("pmi3", 8).alias("pmi3"),
+    )
+
+
+def q_npmi_distance_parts(spark, sf_dir):
+    """NPMI -> distance edge weighting (reference cord19kg/utils.py:613-615);
+    rows with npmi == 0 (infinite distance) are excluded from the comparison
+    surface so both engines hash finite doubles only."""
+    from bluegraph_spark.functions.mi import npmi_distance_col
+
+    e = _part_edges(spark, sf_dir, ["frequency", "npmi"])
+    return (
+        e.filter(F.col("npmi") > 0)
+        .select(
+            "src",
+            "dst",
+            F.round(npmi_distance_col(F.col("npmi")), 8).alias("distance_npmi"),
+        )
+    )
+
+
+def q_cooc_agg_suppliers(spark, sf_dir):
+    """Custom factor-aggregator hook (applyInPandas) building the supplier
+    occurrence table with arbitrary per-group Python, then the standard
+    co-occurrence join — hash parity with the declarative path proves the
+    hook's semantics."""
+    from bluegraph_spark.operators.cooccurrence import (
+        cooccurrence_edges,
+        occurrences_from_aggregator,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+
+    def distinct_parts(pdf):
+        return set(pdf["l_partkey"].astype(str))
+
+    occ = occurrences_from_aggregator(li, "l_suppkey", distinct_parts)
+    return cooccurrence_edges(occ, statistics=["frequency"]).select(
+        "src", "dst", F.col("frequency").cast("long").alias("frequency")
+    )
+
+
 def q_degree_parts(spark, sf_dir):
     from bluegraph_spark.operators.metrics import degree_centrality
 
@@ -449,6 +501,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooc_parts_freq": q_cooc_parts_freq,
         "cooc_parts_npmi": q_cooc_parts_npmi,
         "cooc_top_parts": q_cooc_top_parts,
+        "cooc_parts_mi_variants": q_cooc_parts_mi_variants,
+        "npmi_distance_parts": q_npmi_distance_parts,
+        "cooc_agg_suppliers": q_cooc_agg_suppliers,
         "pagerank_parts": q_pagerank_parts,
         "cc_orders": q_cc_orders,
         "lpa_suppliers": q_lpa_suppliers,
@@ -526,6 +581,50 @@ SELECT src, dst, CAST(frequency AS BIGINT) AS frequency,
                   WHEN pmi / alpha > 0 THEN pmi / alpha
                   ELSE 0 END, 8) AS npmi
 FROM mi
+"""
+
+
+_MI_BASE = f"""
+WITH {_PART_OCC}, {_PART_PAIRS},
+nf AS (SELECT node, count(*) AS f FROM occ GROUP BY 1),
+tot AS (SELECT CAST(count(DISTINCT factor) AS DOUBLE) AS n FROM occ),
+base AS (
+  SELECT p.src, p.dst, p.frequency,
+         CAST(p.frequency AS DOUBLE) AS co,
+         CAST(s.f AS DOUBLE) AS sf, CAST(d.f AS DOUBLE) AS tf, t.n AS n
+  FROM pairs p
+  JOIN nf s ON s.node = p.src
+  JOIN nf d ON d.node = p.dst
+  CROSS JOIN tot t
+)"""
+
+
+def _mi_variants_sql() -> str:
+    clamp = "CASE WHEN {x} > 0 THEN {x} ELSE 0 END"
+    expected = clamp.format(x="log2(n * co / (sf * tf)) * (co / n)")
+    pmi2 = clamp.format(x="log2(co * co / (sf * tf))")
+    pmi3 = clamp.format(x="log2(co * co * co / (sf * tf * n))")
+    return f"""{_MI_BASE}
+SELECT src, dst, CAST(frequency AS BIGINT) AS frequency,
+       ROUND({expected}, 8) AS expected,
+       ROUND({pmi2}, 8) AS pmi2,
+       ROUND({pmi3}, 8) AS pmi3
+FROM base
+"""
+
+
+def _npmi_distance_sql() -> str:
+    return f"""{_MI_BASE},
+npmi AS (
+  SELECT src, dst,
+         CASE WHEN -log2(co / n) = 0 THEN 0
+              WHEN log2(n * co / (sf * tf)) / (-log2(co / n)) > 0
+                THEN log2(n * co / (sf * tf)) / (-log2(co / n))
+              ELSE 0 END AS v
+  FROM base
+)
+SELECT src, dst, ROUND(1.0 / v, 8) AS distance_npmi
+FROM npmi WHERE v > 0
 """
 
 
@@ -781,6 +880,14 @@ WITH {_PART_OCC}, {_PART_PAIRS}
 SELECT src, dst, CAST(frequency AS BIGINT) AS frequency FROM pairs
 """,
         "cooc_parts_npmi": _mi_sql(),
+        "cooc_parts_mi_variants": _mi_variants_sql(),
+        "npmi_distance_parts": _npmi_distance_sql(),
+        "cooc_agg_suppliers": f"""
+WITH {_SUPP_OCC}
+SELECT a.node AS src, b.node AS dst, CAST(count(*) AS BIGINT) AS frequency
+FROM occ a JOIN occ b ON a.factor = b.factor AND a.node < b.node
+GROUP BY 1, 2
+""",
         "cooc_top_parts": f"""
 WITH {_PART_OCC},
 nf AS (SELECT node, count(*) AS c FROM occ GROUP BY 1),
