@@ -89,10 +89,15 @@ def cmd_ingest(args) -> dict:
 
 
 def cmd_cooc(args) -> dict:
-    from bluegraph_spark.operators.cooccurrence import cooccurrence_edges
+    from bluegraph_spark.operators.cooccurrence import (
+        cooccurrence_edges,
+        keep_top_n_nodes,
+    )
 
     spark = _session(args)
     occ = _read(spark, args.occurrences, args.fmt)
+    if args.top_n_nodes:
+        occ = keep_top_n_nodes(occ, args.top_n_nodes)
     edges = cooccurrence_edges(
         occ,
         statistics=args.statistics.split(","),
@@ -175,6 +180,10 @@ def cmd_pipeline(args) -> dict:
     corpus = ingest_repo_corpus(spark, args.corpus, fmt=args.fmt)
     mismatches = verify_sha256(corpus)
     occ = file_occurrences(corpus, use_pandas_udf=args.pandas_udf)
+    if args.top_n_nodes:
+        from bluegraph_spark.operators.cooccurrence import keep_top_n_nodes
+
+        occ = keep_top_n_nodes(occ, args.top_n_nodes)
     edges = cooccurrence_edges(
         occ,
         statistics=["frequency", "npmi"],
@@ -229,6 +238,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--factor-freq-cap", type=int, default=None)
     p.add_argument("--min-frequency", type=int, default=None)
     p.add_argument("--salt", type=int, default=None)
+    p.add_argument("--top-n-nodes", type=int, default=None,
+                   help="keep only the n most frequent nodes before edge "
+                        "generation (the reference's primary scale knob)")
     _add_common(p)
     p.set_defaults(fn=cmd_cooc)
 
@@ -261,6 +273,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pandas-udf", action="store_true")
     p.add_argument("--factor-freq-cap", type=int, default=None)
     p.add_argument("--salt", type=int, default=None)
+    p.add_argument("--top-n-nodes", type=int, default=None)
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--run-id", default="run")
     p.add_argument("--resume", action="store_true")

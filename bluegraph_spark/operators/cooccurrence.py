@@ -110,7 +110,7 @@ def occurrences_from_aggregator(
     """
     import pandas as pd
 
-    def emit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def emit(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         factors = factor_aggregator(pdf)
         uniq = sorted({str(f) for f in factors})
         return pd.DataFrame({"node": [str(key[0])] * len(uniq), "factor": uniq})

@@ -69,6 +69,20 @@ def test_pagerank_command_resume(spark, corpus_path, tmp_path, capsys):
     assert r1.count() == r2.count()
 
 
+def test_cooc_top_n_nodes(spark, corpus_path, tmp_path, capsys):
+    _run(capsys, [
+        "ingest", "--corpus", corpus_path, "--output", str(tmp_path / "occ"),
+    ])
+    _run(capsys, [
+        "cooc", "--occurrences", str(tmp_path / "occ"),
+        "--statistics", "frequency", "--top-n-nodes", "10",
+        "--output", str(tmp_path / "edges"),
+    ])
+    edges = spark.read.parquet(str(tmp_path / "edges"))
+    nodes = edges.select("src").union(edges.select("dst")).distinct().count()
+    assert 0 < nodes <= 10
+
+
 def test_triangles_command(spark, corpus_path, tmp_path, capsys):
     _run(capsys, [
         "ingest", "--corpus", corpus_path, "--output", str(tmp_path / "occ"),
