@@ -183,7 +183,11 @@ def q_cooc_agg_suppliers(spark, sf_dir):
         occurrences_from_aggregator,
     )
 
-    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    # distinct() BEFORE the hook: the aggregator only needs each (supplier,
+    # part) once, and pre-reducing JVM-side keeps the Arrow transfer to the
+    # Python workers minimal — the pattern any production use of the hook
+    # should follow.
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey").distinct()
 
     def distinct_parts(pdf):
         return set(pdf["l_partkey"].astype(str))

@@ -176,16 +176,20 @@ def pagerank(
             .withColumn("delta", F.lit(0.0))
             .repartition(n_parts, "id")
         )
+        # The uniform start's dangling sum rides the state materialization
+        # job as an observed metric — no separate aggregation pass.
+        obs0 = Observation(f"pagerank_init_{time.time_ns()}")
+        state = state.observe(
+            obs0,
+            F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(0.0)).alias(
+                "dsum"
+            ),
+        )
         if checkpointer is not None:
             state = checkpointer.save(0, state, {"danglesum": None, "err": None})
         else:
-            # Materialize once: the danglesum collect below and superstep 1's
-            # join both read state; without the cut each re-derives vstate0.
             state = state.localCheckpoint()
-        # dangling sum of the uniform start
-        danglesum = (
-            state.filter("dangling").agg(F.sum("rank")).collect()[0][0] or 0.0
-        )
+        danglesum = float(obs0.get["dsum"] or 0.0)
 
     # Materialize the edge cache under AQE, then freeze the plan: inside the
     # loop every superstep re-runs the same fixed-shape plan over explicitly
