@@ -187,12 +187,31 @@ def scaling_bench() -> dict:
     # peak-throughput datapoint on all cores (not part of the N→4N pair)
     all_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
     peak = None
+    convergence = None
     if all_cpus > HIGH:
         spark = _session(f"local[{all_cpus}]", shuffle_partitions=PARTS)
         peak = {"cpus": all_cpus, **_pagerank_run(spark, graph_path)}
         peak["edges_per_sec_per_superstep"] = round(
             peak["edges"] / peak["median_superstep_sec"], 1
         )
+        # north-rule metric companion: iterations to 1e-6 convergence
+        # (nx-default semantics: sum|Δ| < N·tol) on the same graph
+        from bluegraph_spark.operators.pagerank import pagerank
+
+        edges = spark.read.parquet(graph_path)
+        nodes = spark.range(V).select("id")
+        t0 = time.time()
+        res = pagerank(edges, weight_col="weight", tol=1e-6, max_iter=100,
+                       directed=True, nodes=nodes)
+        res.ranks.write.format("noop").mode("overwrite").save()
+        convergence = {
+            "tol": 1e-6,
+            "iterations": res.iterations,
+            "converged": res.converged,
+            "final_l1_err": res.err,
+            "wall_sec": round(time.time() - t0, 3),
+            "cpus": all_cpus,
+        }
 
     thr_low = runs[LOW]["edges_per_sec_per_superstep"]
     thr_high = runs[HIGH]["edges_per_sec_per_superstep"]
@@ -207,6 +226,8 @@ def scaling_bench() -> dict:
     }
     if peak:
         out["peak"] = peak
+    if convergence:
+        out["convergence_1e6"] = convergence
     return out
 
 
@@ -296,6 +317,15 @@ def write_bench_baseline(
             f"{r['edges_per_sec_per_superstep']:,} |"
             for r in rows
         ]
+        if "convergence_1e6" in scaling:
+            c = scaling["convergence_1e6"]
+            lines += [
+                "",
+                f"Convergence companion metric: weighted PageRank to tol=1e-6 "
+                f"(nx L1 semantics, sum|Δ| < N·tol) on the same graph at "
+                f"local[{c['cpus']}]: **{c['iterations']} iterations**, "
+                f"{c['wall_sec']}s wall, final L1 error {c['final_l1_err']:.3e}.",
+            ]
         lines += [
             "",
             f"**Scaling efficiency ({scaling['low']['cpus']}→{scaling['high']['cpus']} "

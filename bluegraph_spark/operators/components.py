@@ -74,6 +74,9 @@ def _materialize_with_sig(
 
 
 def _large_star(e: DataFrame) -> DataFrame:
+    # No distinct here: duplicate (a, m) rows across star centers are
+    # harmless to small-star's min aggregate and are swept by its final
+    # distinct — dropping the dedup saves one full shuffle per round.
     sym = e.select("a", "b").unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
@@ -83,7 +86,6 @@ def _large_star(e: DataFrame) -> DataFrame:
         sym.join(mins, "a")
         .filter(F.col("b") > F.col("a"))
         .select(F.col("b").alias("a"), F.col("_m").alias("b"))
-        .distinct()
     )
 
 
@@ -105,11 +107,18 @@ def connected_components(
     max_rounds: int = 50,
     checkpointer: SuperstepCheckpointer | None = None,
     resume: bool = False,
+    partitions: int | None = None,
 ) -> ComponentsResult:
     """Component labels for an undirected edge DataFrame ``(src, dst)``.
 
     Returns (id, component) where component = min id of the node's
     component. ``nodes`` optionally supplies isolated vertices.
+
+    Loop discipline (same as :func:`pagerank`): the shuffle width is sized
+    from the measured edge count (~250k rows/partition) and AQE is frozen
+    for the fixed-shape round plans — both session-global conf toggles,
+    restored in a ``finally``; NOT re-entrant with concurrent planning on
+    the same session (use ``spark.newSession()`` for parallel workloads).
     """
     spark = edges.sparkSession
     e = (
@@ -138,36 +147,56 @@ def connected_components(
                 checkpointer, 0, {"sig_cnt": prev_sig[0], "sig_hash": prev_sig[1]}
             )
 
+    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if partitions:
+        n_parts = int(partitions)
+    else:
+        n_parts = max(1, min(conf_parts, (int(prev_sig[0]) // 250_000) + 1))
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
+
     history: list[dict[str, Any]] = []
     converged = False
     rnd = start_round
-    while rnd < max_rounds:
-        rnd += 1
-        t0 = time.time()
-        # Convergence signature rides the materialization job as observed
-        # metrics — no second pass over the edges.
-        e_new, sig = _materialize_with_sig(
-            _small_star(_large_star(e)), rnd, checkpointer
-        )
-        history.append(
-            {
-                "round": rnd,
-                "superstep_sec": round(time.time() - t0, 3),
-                "edges": sig[0],
-                "hash": sig[1],
-            }
-        )
-        if checkpointer is not None:
-            from bluegraph_spark.operators.pagerank import _update_metrics
-
-            _update_metrics(
-                checkpointer, rnd, {"sig_cnt": sig[0], "sig_hash": sig[1]}
+    try:
+        # Freeze the plan for the loop: the round plan is fixed-shape over a
+        # small known-size state, so AQE's per-stage driver re-planning is
+        # pure serial overhead, and the shuffle width should match the data,
+        # not the session default. (At sandbox scale the win is modest —
+        # ~16s -> ~11s for cc_orders at sf0.1, the floor being per-stage
+        # fixed costs — but at cluster scale a mis-sized width is the
+        # difference between 1 task wave and thousands of empty tasks.)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+        while rnd < max_rounds:
+            rnd += 1
+            t0 = time.time()
+            # Convergence signature rides the materialization job as observed
+            # metrics — no second pass over the edges.
+            e_new, sig = _materialize_with_sig(
+                _small_star(_large_star(e)), rnd, checkpointer
             )
-        e = e_new
-        if sig == prev_sig:
-            converged = True
-            break
-        prev_sig = sig
+            history.append(
+                {
+                    "round": rnd,
+                    "superstep_sec": round(time.time() - t0, 3),
+                    "edges": sig[0],
+                    "hash": sig[1],
+                }
+            )
+            if checkpointer is not None:
+                from bluegraph_spark.operators.pagerank import _update_metrics
+
+                _update_metrics(
+                    checkpointer, rnd, {"sig_cnt": sig[0], "sig_hash": sig[1]}
+                )
+            e = e_new
+            if sig == prev_sig:
+                converged = True
+                break
+            prev_sig = sig
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.conf.set("spark.sql.shuffle.partitions", str(conf_parts))
 
     # stars: (a=child, b=root). Roots + isolated nodes label themselves.
     members = e.select(F.col("a").alias("id"), F.col("b").alias("component"))
