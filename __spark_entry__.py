@@ -413,6 +413,23 @@ def q_simhash_docs(spark, sf_dir):
     )
 
 
+def q_simhash_manku_docs(spark, sf_dir):
+    """Same SimHash semantics through the scale-hardened Manku banding
+    (chunks=6 → C(6,3)=20 ~32-bit combination keys instead of 4 16-bit
+    chunks). Both bandings are pigeonhole-complete for hamming ≤ 3, so the
+    verified pair set — and hence the oracle — is identical to simhash_docs;
+    what differs is the candidate-bucket geometry (buckets of N/2^32 instead
+    of N/2^16)."""
+    from bluegraph_spark.operators.dedup import simhash_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_pairs(d, "doc_id", "text", max_hamming=3, chunks=6).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
 def q_lsh_cosine_docs(spark, sf_dir):
     """Approximate ANN (random-hyperplane LSH). No SQL oracle: the plane
     weights are xxhash64-derived, which DuckDB cannot reproduce — the driver
@@ -531,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": q_fingerprint_docs,
         "quality_docs": q_quality_docs,
         "simhash_docs": q_simhash_docs,
+        "simhash_manku_docs": q_simhash_manku_docs,
         "lsh_cosine_docs": q_lsh_cosine_docs,
         "media_features_docs": q_media_features_docs,
         "frame_sample_docs": q_frame_sample_docs,
@@ -1094,6 +1112,7 @@ FROM toks GROUP BY 1
 """,
         "quality_docs": _quality_sql(),
         "simhash_docs": _simhash_sql(),
+        "simhash_manku_docs": _simhash_sql(),
         "frame_sample_docs": """
 SELECT doc_id AS media_id,
        'video' AS kind,

@@ -79,6 +79,23 @@ def test_simhash_near_dups(spark, docs):
     assert (1, 4) not in got or got[(1, 4)] > 12  # unrelated docs are far
 
 
+def test_simhash_banding_equivalence(spark, docs):
+    """Every pigeonhole-complete banding (chunks > max_hamming) verifies the
+    same pair set — the Manku combination keys change bucket geometry only."""
+    base = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs(docs, "doc_id", "text", max_hamming=3, chunks=4).collect()
+    }
+    for chunks in (5, 6, 8):
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in simhash_pairs(
+                docs, "doc_id", "text", max_hamming=3, chunks=chunks
+            ).collect()
+        }
+        assert got == base, chunks
+
+
 def rng_vectors(n, dim=16, seed=7):
     """Clustered vectors: LSH recall is only meaningful when true neighbors
     are actually close (random gaussians are near-orthogonal by design)."""
