@@ -33,10 +33,14 @@ def _dot(a, b):
 
 
 def _prep(df: DataFrame, id_col: str, vec_col: str, name: str) -> DataFrame:
-    return df.select(
+    """Project (id, double-vector), excluding zero-norm vectors: cosine is
+    undefined there, and the exclusion keeps the division ANSI-safe (the
+    engine session runs with ANSI SQL enabled, where x/0 throws)."""
+    out = df.select(
         F.col(id_col).alias(f"{name}_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(f"{name}_vec"),
     )
+    return out.filter(_norm(F.col(f"{name}_vec")) > 0)
 
 
 def cosine_topk(

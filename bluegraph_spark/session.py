@@ -38,8 +38,12 @@ DEFAULT_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # Deterministic double handling / no ANSI surprises between runs.
-    "spark.sql.ansi.enabled": "false",
+    # ANSI SQL on, explicitly (also Spark 4's default, and what the driver's
+    # correctness gate runs): overflow/invalid-cast bugs surface as errors
+    # instead of silent wraparound — round 1 shipped a sum(xxhash64) overflow
+    # that only an ANSI session could catch. Every operator is ANSI-safe
+    # (bit_xor signatures, guarded divisions, bounded conv() casts).
+    "spark.sql.ansi.enabled": "true",
     # UI off: this engine is driven headless (tests/bench/spark-submit).
     "spark.ui.enabled": "false",
 }
