@@ -75,22 +75,19 @@ def label_propagation(
         ).filter(F.col("src") != F.col("dst"))
     )
 
-    if nodes is None:
-        vertices = (
-            e.select(F.col("src").alias("id"))
-            .unionByName(e.select(F.col("dst").alias("id")))
-            .distinct()
-        )
-    else:
-        vertices = nodes.select(
-            F.col(nodes.columns[0]).cast("string").alias("id")
-        ).distinct()
-
     conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # One pass over the (possibly expensive) source: cache the symmetrized
     # raw edges, size the loop partitioning off the cached count, build the
     # CSR-blocked cache from it, then drop the raw cache.
     e0 = e.persist()
+
+    if nodes is None:
+        # symmetrized + self-loop-free: the src set IS the vertex set
+        vertices = e0.select(F.col("src").alias("id")).distinct()
+    else:
+        vertices = nodes.select(
+            F.col(nodes.columns[0]).cast("string").alias("id")
+        ).distinct()
     if partitions:
         n_parts = int(partitions)
     else:

@@ -90,15 +90,6 @@ def pagerank(
     if not directed:
         e = symmetrize_edges(e)
 
-    if nodes is None:
-        vertices = (
-            e.select(F.col("src").alias("id"))
-            .unionByName(e.select(F.col("dst").alias("id")))
-            .distinct()
-        )
-    else:
-        vertices = nodes.select(F.col(nodes.columns[0]).alias("id")).distinct()
-
     conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     # The raw edge expression may itself be expensive (e.g. a co-occurrence
@@ -113,6 +104,20 @@ def pagerank(
     out = e.groupBy("src").agg(
         F.sum("w").alias("out_w"), F.count("*").alias("_deg")
     ).persist()
+
+    if nodes is not None:
+        vertices = nodes.select(F.col(nodes.columns[0]).alias("id")).distinct()
+    elif not directed:
+        # Symmetrized graph: every vertex appears as a src, so the (cached,
+        # already-distinct) out-weight table IS the vertex set — no separate
+        # union+distinct pass over the edges.
+        vertices = out.select(F.col("src").alias("id"))
+    else:
+        vertices = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
     # Size the superstep partitioning from the measured edge count: 32 task
     # waves over a 2k-vertex graph cost more in scheduling than the work
     # itself, while a 30M-edge graph needs every core. ~250k directed edges
