@@ -187,31 +187,12 @@ def scaling_bench() -> dict:
     # peak-throughput datapoint on all cores (not part of the N→4N pair)
     all_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
     peak = None
-    convergence = None
     if all_cpus > HIGH:
         spark = _session(f"local[{all_cpus}]", shuffle_partitions=PARTS)
         peak = {"cpus": all_cpus, **_pagerank_run(spark, graph_path)}
         peak["edges_per_sec_per_superstep"] = round(
             peak["edges"] / peak["median_superstep_sec"], 1
         )
-        # north-rule metric companion: iterations to 1e-6 convergence
-        # (nx-default semantics: sum|Δ| < N·tol) on the same graph
-        from bluegraph_spark.operators.pagerank import pagerank
-
-        edges = spark.read.parquet(graph_path)
-        nodes = spark.range(V).select("id")
-        t0 = time.time()
-        res = pagerank(edges, weight_col="weight", tol=1e-6, max_iter=100,
-                       directed=True, nodes=nodes)
-        res.ranks.write.format("noop").mode("overwrite").save()
-        convergence = {
-            "tol": 1e-6,
-            "iterations": res.iterations,
-            "converged": res.converged,
-            "final_l1_err": res.err,
-            "wall_sec": round(time.time() - t0, 3),
-            "cpus": all_cpus,
-        }
 
     thr_low = runs[LOW]["edges_per_sec_per_superstep"]
     thr_high = runs[HIGH]["edges_per_sec_per_superstep"]
@@ -226,9 +207,36 @@ def scaling_bench() -> dict:
     }
     if peak:
         out["peak"] = peak
-    if convergence:
-        out["convergence_1e6"] = convergence
     return out
+
+
+def convergence_bench(sf_dir: str) -> dict:
+    """North-metric companion: iterations to tol=1e-6 convergence (nx
+    semantics, sum|Δ| < N·tol) of weighted PageRank on the sf co-occurrence
+    parts graph, in whatever session query_bench left active.
+
+    Measured on the suite graph rather than the 30M-edge scaling graph
+    deliberately: the nx N·tol test is vacuous at N=2e6 (threshold 2.0
+    exceeds any possible one-step L1 mass shift, so it 'converges' in one
+    iteration); at suite scale (N≈2e4, threshold 0.02) the iteration count
+    is a real property of the graph + damping."""
+    import __spark_entry__ as entrymod
+    from bluegraph_spark.operators.pagerank import pagerank
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    edges = entrymod._part_edges(spark, sf_dir)
+    t0 = time.time()
+    res = pagerank(edges, weight_col="frequency", tol=1e-6, max_iter=100)
+    res.ranks.write.format("noop").mode("overwrite").save()
+    return {
+        "tol": 1e-6,
+        "iterations": res.iterations,
+        "converged": res.converged,
+        "final_l1_err": res.err,
+        "wall_sec": round(time.time() - t0, 3),
+        "err_history": [round(h["err"], 9) for h in res.history],
+    }
 
 
 def query_bench(sf_dir: str) -> dict[str, float]:
@@ -282,7 +290,11 @@ def lsh_recall_bench(sf_dir: str, k: int = 5, n_queries: int = 200) -> dict:
 
 
 def write_bench_baseline(
-    scaling: dict | None, timings: dict, sf: float, recall: dict | None = None
+    scaling: dict | None,
+    timings: dict,
+    sf: float,
+    recall: dict | None = None,
+    convergence: dict | None = None,
 ) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     lines = [
@@ -295,6 +307,19 @@ def write_bench_baseline(
     ]
     lines += [f"| {k} | {v} |" for k, v in sorted(timings.items())]
     lines += ["", f"total: {round(sum(timings.values()), 2)} sec", ""]
+    if convergence:
+        c = convergence
+        lines += [
+            f"North-metric companion — weighted PageRank to tol=1e-6 "
+            f"convergence (nx semantics, sum|Δ| < N·tol) on the sf={sf} parts "
+            f"co-occurrence graph: **{c['iterations']} iterations** "
+            f"({'converged' if c['converged'] else 'NOT converged'}, final L1 "
+            f"error {c['final_l1_err']:.3e}, {c['wall_sec']}s wall). Measured "
+            "on the suite graph, not the 2M-vertex scaling graph, because the "
+            "nx N·tol test is vacuous at N=2e6 (threshold 2.0 ≥ any possible "
+            "one-step L1 shift).",
+            "",
+        ]
     if scaling:
         g = scaling["graph"]
         rows = [scaling["low"], scaling["high"]] + (
@@ -317,15 +342,6 @@ def write_bench_baseline(
             f"{r['edges_per_sec_per_superstep']:,} |"
             for r in rows
         ]
-        if "convergence_1e6" in scaling:
-            c = scaling["convergence_1e6"]
-            lines += [
-                "",
-                f"Convergence companion metric: weighted PageRank to tol=1e-6 "
-                f"(nx L1 semantics, sum|Δ| < N·tol) on the same graph at "
-                f"local[{c['cpus']}]: **{c['iterations']} iterations**, "
-                f"{c['wall_sec']}s wall, final L1 error {c['final_l1_err']:.3e}.",
-            ]
         lines += [
             "",
             f"**Scaling efficiency ({scaling['low']['cpus']}→{scaling['high']['cpus']} "
@@ -422,8 +438,17 @@ def main() -> None:
         recall = lsh_recall_bench(sf_dir)
     except Exception as exc:  # recall is evidence, not a gate
         recall = {"error": str(exc)[:200]}
+    convergence = None
+    try:
+        convergence = convergence_bench(sf_dir)
+    except Exception as exc:
+        convergence = {"error": str(exc)[:200]}
     write_bench_baseline(
-        scaling, timings, sf, recall if recall and "error" not in recall else None
+        scaling,
+        timings,
+        sf,
+        recall if recall and "error" not in recall else None,
+        convergence if convergence and "error" not in convergence else None,
     )
 
     out = {
@@ -433,6 +458,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "lsh_recall": recall,
+        "pagerank_convergence": convergence,
     }
     if scaling:
         out["pagerank_scaling"] = scaling

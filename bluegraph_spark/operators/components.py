@@ -151,7 +151,14 @@ def connected_components(
     if partitions:
         n_parts = int(partitions)
     else:
-        n_parts = max(1, min(conf_parts, (int(prev_sig[0]) // 250_000) + 1))
+        # prev_sig[0] may be None on resume from a checkpoint whose metrics
+        # predate the signature record; fall back to the session width then.
+        cnt0 = prev_sig[0] if prev_sig[0] is not None else 0
+        n_parts = (
+            max(1, min(conf_parts, (int(cnt0) // 250_000) + 1))
+            if cnt0
+            else conf_parts
+        )
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
 
     history: list[dict[str, Any]] = []

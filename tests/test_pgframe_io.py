@@ -78,6 +78,20 @@ def test_json_nulls_dropped_and_restored(spark):
     assert back.get_node("b")["score"] is None
 
 
+def test_json_array_prop_with_missing_cells(spark):
+    """A null array cell is dropped on export (reference dropna) and must
+    come back as a null array — mixed list/None object columns round-trip."""
+    nodes = spark.createDataFrame(
+        [("a", ["X", "Y"]), ("b", None)], "id string, type array<string>"
+    )
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    payload = SparkPGFrame(nodes, edges).to_json()
+    assert "@type" not in next(r for r in payload["nodes"] if r["@id"] == "b")
+    back = SparkPGFrame.from_json(spark, payload)
+    assert sorted(back.get_node("a")["type"]) == ["X", "Y"]
+    assert back.get_node("b")["type"] is None
+
+
 def test_json_empty_frames(spark):
     pg = SparkPGFrame(
         spark.createDataFrame([], "id string"),
