@@ -19,6 +19,7 @@ pipeline --corpus ... --output ...``. Subcommands:
   components  edge table -> (id, component)   [checkpointed, resumable]
   lpa         edge table -> (id, label)       [checkpointed, resumable]
   triangles   edge table -> (id, triangles)
+  dedup       documents table -> duplicate groups / verified near-dup pairs
   pipeline    corpus -> edges -> pagerank + components + lpa + triangles
 
 Every subcommand reads/writes parquet by default; pass ``--fmt iceberg``
@@ -163,6 +164,31 @@ def cmd_triangles(args) -> dict:
     return {"triangles": args.output}
 
 
+def cmd_dedup(args) -> dict:
+    """Document dedup over a (id, text) table: exact, minhash, or simhash."""
+    from bluegraph_spark.operators import dedup as D
+
+    spark = _session(args)
+    docs = _read(spark, args.docs, args.fmt)
+    if args.method == "exact":
+        out = D.exact_duplicates(docs, args.id_col, args.text_col)
+    elif args.method == "minhash":
+        out = D.minhash_dedup_pairs(
+            docs, args.id_col, args.text_col,
+            n=args.ngram, num_hashes=args.num_hashes, bands=args.bands,
+            threshold=args.threshold,
+        )
+    elif args.method == "simhash":
+        out = D.simhash_pairs(
+            docs, args.id_col, args.text_col,
+            max_hamming=args.max_hamming, chunks=args.chunks,
+        )
+    else:
+        raise ValueError(f"unknown dedup method {args.method!r}")
+    _write(out, args)
+    return {"method": args.method, "rows": out.count(), "output": args.output}
+
+
 def cmd_pipeline(args) -> dict:
     """Corpus -> co-occurrence edges -> all four analytics, checkpointed."""
     from bluegraph_spark.operators.components import connected_components
@@ -267,6 +293,21 @@ def build_parser() -> argparse.ArgumentParser:
     _add_iterative(p)
     _add_common(p)
     p.set_defaults(fn=cmd_triangles)
+
+    p = sub.add_parser("dedup")
+    p.add_argument("--docs", required=True, help="documents table path (id, text)")
+    p.add_argument("--method", default="minhash",
+                   choices=["exact", "minhash", "simhash"])
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--ngram", type=int, default=3)
+    p.add_argument("--num-hashes", type=int, default=8)
+    p.add_argument("--bands", type=int, default=4)
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--max-hamming", type=int, default=3)
+    p.add_argument("--chunks", type=int, default=4)
+    _add_common(p)
+    p.set_defaults(fn=cmd_dedup)
 
     p = sub.add_parser("pipeline")
     p.add_argument("--corpus", required=True)

@@ -83,6 +83,34 @@ def test_cooc_top_n_nodes(spark, corpus_path, tmp_path, capsys):
     assert 0 < nodes <= 10
 
 
+def test_dedup_command(spark, tmp_path, capsys):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different text entirely here now folks"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "docs")
+    docs.write.parquet(path)
+    res = _run(capsys, [
+        "dedup", "--docs", path, "--method", "exact",
+        "--output", str(tmp_path / "exact"),
+    ])
+    assert res["rows"] == 2  # two distinct contents
+    groups = spark.read.parquet(str(tmp_path / "exact"))
+    dup = groups.filter("n_copies > 1").collect()
+    assert len(dup) == 1 and dup[0].keep_id == 1
+
+    res = _run(capsys, [
+        "dedup", "--docs", path, "--method", "minhash",
+        "--output", str(tmp_path / "mh"),
+    ])
+    pairs = {(r.id_a, r.id_b) for r in spark.read.parquet(str(tmp_path / "mh")).collect()}
+    assert (1, 2) in pairs
+
+
 def test_triangles_command(spark, corpus_path, tmp_path, capsys):
     _run(capsys, [
         "ingest", "--corpus", corpus_path, "--output", str(tmp_path / "occ"),
