@@ -239,6 +239,38 @@ def test_salting_result_identical(spark):
     )
 
 
+def test_cooccurrence_random_oracle(spark):
+    """Seeded random occurrence table vs a brute-force python oracle:
+    completeness (every intersecting pair emitted, nothing else) and exact
+    frequency/ppmi/npmi values."""
+    import random
+    from collections import defaultdict
+
+    rnd = random.Random(7)
+    rows = {(f"n{rnd.randrange(30)}", f"f{rnd.randrange(20)}") for _ in range(200)}
+    occ = spark.createDataFrame(sorted(rows), "node string, factor string")
+    edges = cooccurrence_edges(occ, statistics=["frequency", "ppmi", "npmi"]).collect()
+
+    fac = defaultdict(set)
+    for n, f in rows:
+        fac[n].add(f)
+    total = len({f for _, f in rows})
+    expected_pairs = {
+        (a, b) for a in fac for b in fac if a < b and fac[a] & fac[b]
+    }
+    assert {(r.src, r.dst) for r in edges} == expected_pairs
+    for r in edges:
+        co = len(fac[r.src] & fac[r.dst])
+        assert r.frequency == co
+        assert r.ppmi == pytest.approx(
+            mi_oracle(co, len(fac[r.src]), len(fac[r.dst]), total), abs=1e-12
+        )
+        assert r.npmi == pytest.approx(
+            mi_oracle(co, len(fac[r.src]), len(fac[r.dst]), total, "normalized"),
+            abs=1e-12,
+        )
+
+
 def test_factor_freq_cap(spark):
     rows = [(f"n{i}", "stopword") for i in range(10)] + [
         ("n0", "rare"),
