@@ -11,8 +11,9 @@ in MapReduce and Beyond" (SOCC'14): repeat
 
 until the edge set is stable — O(log n) rounds, two shuffles per round, at
 which point the edges form star forests: every node points at its
-component's minimum id. Orderings are lexicographic on the (string) ids;
-labels are therefore the lexicographic minimum id of each component.
+component's minimum id. Ids keep their native type; labels are the minimum
+id of each component under that type's ordering (numeric for integer ids,
+lexicographic for strings).
 
 Each round's edge set runs through ``SuperstepCheckpointer`` when supplied
 (lineage cut + resume, north rule); otherwise ``localCheckpoint`` cuts
@@ -121,11 +122,12 @@ def connected_components(
     the same session (use ``spark.newSession()`` for parallel workloads).
     """
     spark = edges.sparkSession
+    # Ids keep their native type (numeric min for longs, lexicographic min
+    # for strings): long comparisons and shuffles are several times cheaper
+    # than strings at 10^9-vertex scale, and every step below only needs an
+    # orderable, hashable id type.
     e = (
-        edges.select(
-            F.col("src").cast("string").alias("a"),
-            F.col("dst").cast("string").alias("b"),
-        )
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
@@ -212,7 +214,10 @@ def connected_components(
     )
     comp = members.unionByName(roots)
     if nodes is not None:
-        vs = nodes.select(F.col(nodes.columns[0]).cast("string").alias("id")).distinct()
+        id_type = dict(edges.dtypes).get("src", "string")
+        vs = nodes.select(
+            F.col(nodes.columns[0]).cast(id_type).alias("id")
+        ).distinct()
         isolated = vs.join(comp.select("id"), "id", "left_anti").withColumn(
             "component", F.col("id")
         )
