@@ -67,10 +67,13 @@ def label_propagation(
     """
     spark = edges.sparkSession
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    # Ids (and therefore labels) keep their native type; the min-label
+    # tie-break uses that type's ordering (numeric for ints, lexicographic
+    # for strings). Long shuffles/joins are several times cheaper at scale.
     e = symmetrize_edges(
         edges.select(
-            F.col("src").cast("string").alias("src"),
-            F.col("dst").cast("string").alias("dst"),
+            F.col("src").alias("src"),
+            F.col("dst").alias("dst"),
             w.alias("w"),
         ).filter(F.col("src") != F.col("dst"))
     )
@@ -85,8 +88,9 @@ def label_propagation(
         # symmetrized + self-loop-free: the src set IS the vertex set
         vertices = e0.select(F.col("src").alias("id")).distinct()
     else:
+        id_type = dict(edges.dtypes).get("src", "string")
         vertices = nodes.select(
-            F.col(nodes.columns[0]).cast("string").alias("id")
+            F.col(nodes.columns[0]).cast(id_type).alias("id")
         ).distinct()
     if partitions:
         n_parts = int(partitions)

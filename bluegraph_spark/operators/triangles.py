@@ -53,17 +53,16 @@ BROADCAST_ADJ_MAX_ENTRIES = 3_000_000
 def _canonical(edges: DataFrame) -> DataFrame:
     """Canonical undirected edge set: (a, b) with a <= b, deduplicated.
 
-    Self-loops survive as (x, x) so the vertex set derived from this table
-    matches the input graph's; the orientation step drops them (a self-loop
-    is in no triangle).
+    Ids keep their native type — every triangle is counted exactly once
+    under ANY total (degree, id) order, so the id type only changes which
+    corner hosts the wedge, never the counts; long ids shuffle far cheaper
+    than strings. Self-loops survive as (x, x) so the vertex set derived
+    from this table matches the input graph's; the orientation step drops
+    them (a self-loop is in no triangle).
     """
     return edges.select(
-        F.least(
-            F.col("src").cast("string"), F.col("dst").cast("string")
-        ).alias("a"),
-        F.greatest(
-            F.col("src").cast("string"), F.col("dst").cast("string")
-        ).alias("b"),
+        F.least(F.col("src"), F.col("dst")).alias("a"),
+        F.greatest(F.col("src"), F.col("dst")).alias("b"),
     ).distinct()
 
 
@@ -152,8 +151,9 @@ def triangle_counts(edges: DataFrame, nodes: DataFrame | None = None) -> DataFra
             .distinct()
         )
     else:
+        id_type = dict(edges.dtypes).get("src", "string")
         vertices = nodes.select(
-            F.col(nodes.columns[0]).cast("string").alias("id")
+            F.col(nodes.columns[0]).cast(id_type).alias("id")
         ).distinct()
     out = vertices.join(counts, "id", "left").select(
         "id", F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles")
