@@ -34,18 +34,19 @@ def degree_centrality(
     """(id, degree): weighted degree sum; undirected self-loops count twice
     (NetworkX G.degree semantics)."""
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
-    e = edges.select(
-        F.col("src").cast("string").alias("src"),
-        F.col("dst").cast("string").alias("dst"),
-        w.alias("w"),
-    )
+    # ids keep their native type (consistent with pagerank/CC/LPA output,
+    # so batch metric joins never mix string and numeric key types)
+    e = edges.select(F.col("src"), F.col("dst"), w.alias("w"))
     # count both endpoints (self-loop contributes twice in nx undirected)
     ends = e.select(F.col("src").alias("id"), "w").unionByName(
         e.select(F.col("dst").alias("id"), "w")
     )
     deg = ends.groupBy("id").agg(F.sum("w").alias("degree"))
     if nodes is not None:
-        vs = nodes.select(F.col(nodes.columns[0]).cast("string").alias("id")).distinct()
+        id_type = dict(edges.dtypes).get("src", "string")
+        vs = nodes.select(
+            F.col(nodes.columns[0]).cast(id_type).alias("id")
+        ).distinct()
         deg = vs.join(deg, "id", "left").select(
             "id", F.coalesce("degree", F.lit(0.0)).alias("degree")
         )
@@ -54,9 +55,7 @@ def degree_centrality(
 
 def density(edges: DataFrame, nodes: DataFrame | None = None, directed: bool = False) -> float:
     """m / (n(n-1)), doubled when undirected (reference core/io.py:610-615)."""
-    e = edges.select(
-        F.col("src").cast("string").alias("src"), F.col("dst").cast("string").alias("dst")
-    ).persist()
+    e = edges.select(F.col("src"), F.col("dst")).persist()
     if nodes is None:
         n = (
             e.select(F.col("src").alias("id"))
@@ -108,14 +107,11 @@ def compute_all_node_metrics(
 
 def _edges_with_labels(edges: DataFrame, labels: DataFrame, weight_col: str | None):
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
-    e = edges.select(
-        F.col("src").cast("string").alias("src"),
-        F.col("dst").cast("string").alias("dst"),
-        w.alias("w"),
-    )
+    e = edges.select(F.col("src"), F.col("dst"), w.alias("w"))
+    id_type = dict(edges.dtypes).get("src", "string")
     lab = labels.select(
-        F.col(labels.columns[0]).cast("string").alias("id"),
-        F.col(labels.columns[1]).cast("string").alias("community"),
+        F.col(labels.columns[0]).cast(id_type).alias("id"),
+        F.col(labels.columns[1]).alias("community"),
     )
     return (
         e.join(lab.withColumnRenamed("id", "src").withColumnRenamed("community", "_cs"), "src")

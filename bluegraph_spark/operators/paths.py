@@ -26,14 +26,14 @@ def top_neighbors(
     """(id, neighbor, weight, rank) — top-n per vertex, deterministic
     (weight desc, neighbor id asc tie-break)."""
     e = edges.select(
-        F.col("src").cast("string").alias("src"),
-        F.col("dst").cast("string").alias("dst"),
+        F.col("src"),
+        F.col("dst"),
         F.col(weight_col).cast("double").alias("weight"),
     )
     if not directed:
         e = symmetrize_edges(e)
     if vertex is not None:
-        e = e.filter(F.col("src") == str(vertex))
+        e = e.filter(F.col("src") == F.lit(vertex))
     w = Window.partitionBy("src").orderBy(F.desc("weight"), F.asc("dst"))
     return (
         e.withColumn("rank", F.row_number().over(w))
