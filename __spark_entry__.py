@@ -447,6 +447,24 @@ def q_lsh_cosine_docs(spark, sf_dir):
     )
 
 
+def q_ivf_cosine_docs(spark, sf_dir):
+    """IVF ANN over the embeddings table. No SQL oracle: the codebook is a
+    Lloyd fit whose float reductions are not DuckDB-reproducible — the
+    driver records the weaker rows-only check (row count is stable: exactly
+    k rows per query)."""
+    from bluegraph_spark.operators.similarity import ivf_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_cosine_topk(
+        emb.filter("vec_id < 30"), emb, k=3, n_centroids=16, nprobe=4, dim=64
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _doc_media(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -550,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": q_simhash_docs,
         "simhash_manku_docs": q_simhash_manku_docs,
         "lsh_cosine_docs": q_lsh_cosine_docs,
+        "ivf_cosine_docs": q_ivf_cosine_docs,
         "media_features_docs": q_media_features_docs,
         "frame_sample_docs": q_frame_sample_docs,
         "subgraph_orders": q_subgraph_orders,

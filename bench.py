@@ -261,6 +261,8 @@ def lsh_recall_bench(sf_dir: str, k: int = 5, n_queries: int = 200) -> dict:
 
     from bluegraph_spark.operators.similarity import (
         cosine_topk,
+        ivf_cosine_topk,
+        ivf_fit_centroids,
         lsh_candidate_pairs,
         lsh_cosine_topk,
     )
@@ -271,21 +273,40 @@ def lsh_recall_bench(sf_dir: str, k: int = 5, n_queries: int = 200) -> dict:
     q = emb.filter(f"vec_id < {n_queries}")
     n_q = q.count()
     exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(q, emb, k).collect()}
-    out = {"k": k, "n_queries": n_q, "n_corpus": n_corpus}
+    out = {"k": k, "n_queries": n_q, "n_corpus": n_corpus, "configs": []}
     for label, knobs in (
-        ("default", dict(planes=12, tables=3, multiprobe=1)),
-        ("flat_spectrum", dict(planes=6, tables=8, multiprobe=1)),
+        ("lsh_default", dict(planes=12, tables=3, multiprobe=1)),
+        ("lsh_flat_spectrum", dict(planes=6, tables=8, multiprobe=1)),
     ):
         approx = {
             (r.query_id, r.neighbor_id)
             for r in lsh_cosine_topk(q, emb, k, dim=64, **knobs).collect()
         }
         n_cand = lsh_candidate_pairs(q, emb, dim=64, **knobs).count()
-        out[label] = {
-            **knobs,
+        out["configs"].append({
+            "name": label,
+            "params": knobs,
             "recall_at_k": round(len(exact & approx) / max(len(exact), 1), 4),
             "candidate_fraction": round(n_cand / max(n_q * n_corpus, 1), 4),
+        })
+    cents = ivf_fit_centroids(emb, n_centroids=64, dim=64)
+    for nprobe in (8, 16):
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_cosine_topk(
+                q, emb, k, centroids=cents, nprobe=nprobe, dim=64
+            ).collect()
         }
+        # k = n_corpus returns every scored candidate -> measured fraction
+        n_cand = ivf_cosine_topk(
+            q, emb, n_corpus, centroids=cents, nprobe=nprobe, dim=64
+        ).count()
+        out["configs"].append({
+            "name": f"ivf_c64_nprobe{nprobe}",
+            "params": {"n_centroids": 64, "nprobe": nprobe},
+            "recall_at_k": round(len(exact & approx) / max(len(exact), 1), 4),
+            "candidate_fraction": round(n_cand / max(n_q * n_corpus, 1), 4),
+        })
     return out
 
 
@@ -386,35 +407,38 @@ def write_bench_baseline(
     if recall:
         lines += [
             "",
-            "## LSH ANN recall vs exact baseline",
+            "## ANN recall vs exact baseline",
             "",
-            f"recall@{recall['k']} of `lsh_cosine_topk` against the exact "
+            f"recall@{recall['k']} of the approximate paths "
+            "(`lsh_cosine_topk`, `ivf_cosine_topk`) against the exact "
             f"`cosine_topk` on the sf embeddings table "
             f"({recall['n_queries']} queries × {recall['n_corpus']} corpus), "
-            "with the candidate fraction (candidates / query·corpus pairs) as "
-            "the cost axis:",
+            "with the measured candidate fraction (candidates / query·corpus "
+            "pairs) as the cost axis:",
             "",
-            "| config | planes | tables | multiprobe | recall | candidate fraction |",
-            "|---|---|---|---|---|---|",
+            "| config | params | recall | candidate fraction |",
+            "|---|---|---|---|",
         ]
-        for label in ("default", "flat_spectrum"):
-            r = recall[label]
+        for r in recall["configs"]:
+            params = ", ".join(f"{k2}={v2}" for k2, v2 in r["params"].items())
             lines.append(
-                f"| {label} | {r['planes']} | {r['tables']} | {r['multiprobe']} "
-                f"| {r['recall_at_k']} | {r['candidate_fraction']} |"
+                f"| {r['name']} | {params} | {r['recall_at_k']} "
+                f"| {r['candidate_fraction']} |"
             )
         lines += [
             "",
             "The synthetic embeddings have a flat similarity spectrum (mean "
             "top-5 cosine ≈ 0.32, i.e. θ ≈ 71°), the worst case for "
             "sign-LSH: per-table collision probability of a true neighbor is "
-            "(1-θ/π)^planes. Defaults (12 planes) are tuned for clustered "
+            "(1-θ/π)^planes. LSH defaults (12 planes) are tuned for clustered "
             "corpora — near-dup embeddings, cosine ≥ 0.9 — where recall@5 ≥ "
-            "0.8 (pytest-enforced floor on a clustered fixture). On "
-            "flat-spectrum data shorter codes + more tables recover recall "
-            "≈ 0.9 at a candidate fraction approaching brute force — an "
-            "inherent LSH trade-off the table makes explicit, not a plan "
-            "defect.",
+            "0.8 (pytest-enforced floors on a clustered fixture for both LSH "
+            "and IVF). On flat-spectrum data the IVF index dominates the "
+            "recall-per-candidate curve (bucket geometry is similarity-"
+            "distribution-independent: fraction ≈ nprobe/n_centroids); "
+            "sign-LSH only recovers recall ≈ 0.9 at a candidate fraction "
+            "approaching brute force — an inherent trade-off the table makes "
+            "explicit, not a plan defect.",
         ]
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -13,7 +13,12 @@ from bluegraph_spark.operators.dedup import (
     minhash_lsh_candidates,
     simhash_pairs,
 )
-from bluegraph_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+from bluegraph_spark.operators.similarity import (
+    cosine_topk,
+    ivf_cosine_topk,
+    ivf_fit_centroids,
+    lsh_cosine_topk,
+)
 
 
 DOCS = [
@@ -152,6 +157,30 @@ def test_lsh_recall_floor_at_defaults(spark, vectors):
     hits = sum(len(approx.get(q, set()) & {j for j, _ in exact[q]}) for q in exact)
     total = sum(len(exact[q]) for q in exact)
     assert hits / total >= 0.8
+
+
+def test_ivf_recall_floor(spark, vectors):
+    """IVF probe of 2/8 cells on clustered vectors: recall@5 ≥ 0.8, exact
+    cosines inside probed cells, deterministic codebook."""
+    exact = py_topk(rng_vectors(40), 5)
+    cents = ivf_fit_centroids(vectors, n_centroids=8, dim=16)
+    assert cents == ivf_fit_centroids(vectors, n_centroids=8, dim=16)
+    approx = {}
+    cos = {}
+    for r in ivf_cosine_topk(vectors, vectors, 5, centroids=cents, nprobe=2, dim=16).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+        cos[(r.query_id, r.neighbor_id)] = r.cosine
+    hits = sum(len(approx.get(q, set()) & {j for j, _ in exact[q]}) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    assert hits / total >= 0.8
+    # returned cosines are exact (verified in-cell), not approximations
+    truth = dict()
+    for q2, lst in exact.items():
+        for j, c in lst:
+            truth[(q2, j)] = c
+    for pair, c in cos.items():
+        if pair in truth:
+            assert c == pytest.approx(truth[pair], abs=1e-9)
 
 
 def test_lsh_recall_reasonable(spark, vectors):
