@@ -84,6 +84,20 @@ def test_simhash_near_dups(spark, docs):
     assert (1, 4) not in got or got[(1, 4)] > 12  # unrelated docs are far
 
 
+def test_simhash_plan_is_pure_catalyst(spark, docs):
+    """Engine UDF policy regression guard: the simhash pipeline must contain
+    no Python evaluation nodes (the round-1 kernel was a per-row Python
+    loop dressed as a pandas UDF)."""
+    plan = (
+        simhash_pairs(docs, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
 def test_simhash_banding_equivalence(spark, docs):
     """Every pigeonhole-complete banding (chunks > max_hamming) verifies the
     same pair set — the Manku combination keys change bucket geometry only."""
