@@ -145,7 +145,12 @@ def keep_top_n_nodes(
     if min_occurrences is not None:
         nf = nf.filter(F.col("_nf") >= min_occurrences)
     top = nf.orderBy(F.desc("_nf"), F.asc("node")).limit(n).select("node")
-    if n <= 5_000_000:
+    # Broadcast hint only while the vocabulary is safely executor-resident:
+    # 1M string ids is tens of MB serialized; beyond that the hint would
+    # bypass autoBroadcastJoinThreshold and risk driver/executor OOM, so let
+    # AQE pick the strategy from the measured size instead (the semi-join is
+    # correct either way).
+    if n <= 1_000_000:
         top = F.broadcast(top)
     return occ.join(top, "node", "left_semi")
 

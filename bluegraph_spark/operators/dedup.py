@@ -265,10 +265,18 @@ def simhash_pairs(
     """
     if not (0 < chunks <= 64):
         raise ValueError("chunks must be in 1..64")
-    # Pigeonhole completeness needs chunks > max_hamming. With fewer chunks
-    # the single-chunk banding is best-effort (recall < 1 possible) — kept
-    # for loose exploratory thresholds; exact pipelines should raise chunks.
-    keep = max(1, chunks - max_hamming)
+    if chunks <= max_hamming:
+        # Pigeonhole completeness requires chunks > max_hamming: two
+        # signatures within Hamming d can differ in up to d blocks, so only
+        # chunks - max_hamming blocks are guaranteed to agree. A smaller
+        # chunk count silently drops valid pairs — refuse instead.
+        raise ValueError(
+            f"chunks ({chunks}) must exceed max_hamming ({max_hamming}): "
+            "with k chunks the banding only guarantees full recall for "
+            "Hamming distance <= k-1; raise chunks to at least "
+            f"{max_hamming + 1}"
+        )
+    keep = chunks - max_hamming
     # contiguous blocks, widths as equal as possible (64 need not divide)
     base, extra = divmod(64, chunks)
     widths = [base + (1 if c < extra else 0) for c in range(chunks)]

@@ -20,6 +20,8 @@ replacement.)
 
 from __future__ import annotations
 
+from itertools import combinations
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -162,23 +164,30 @@ def lsh_signatures(
 
 
 def _probe_buckets(sig: DataFrame, planes: int, multiprobe: int) -> DataFrame:
-    """Expand each (id, bucket) row to the probe set: the bucket itself plus,
-    with ``multiprobe`` ≥ 1, every bucket at Hamming distance 1 (each sign
-    bit flipped once). Multi-probe LSH (Lv et al., VLDB'07): querying the
-    adjacent buckets recovers neighbors that fell just across one hyperplane
-    — the dominant failure mode — for a (planes+1)× probe cost instead of
-    extra tables over the whole corpus."""
+    """Expand each (id, bucket) row to the probe set: the bucket itself plus
+    every bucket within Hamming distance ``multiprobe`` (all combinations of
+    up to that many sign bits flipped). Multi-probe LSH (Lv et al., VLDB'07):
+    querying adjacent buckets recovers neighbors that fell just across a few
+    hyperplanes — the dominant failure mode — for a sum-of-C(planes, d) probe
+    cost on the query side instead of extra tables over the whole corpus.
+    Probe count grows binomially: planes=12 gives 13 probes at multiprobe=1,
+    79 at multiprobe=2 — keep multiprobe small relative to planes."""
     if multiprobe <= 0:
         return sig
+
+    def bit(i: int):
+        return F.substring("bucket", i + 1, 1)
+
+    def flipped(i: int):
+        return F.when(bit(i) == "1", "0").otherwise("1")
+
     probes = [F.col("bucket")]
-    for i in range(planes):
-        probes.append(
-            F.concat(
-                F.substring("bucket", 1, i),
-                F.when(F.substring("bucket", i + 1, 1) == "1", "0").otherwise("1"),
-                F.substring("bucket", i + 2, planes - i - 1),
+    for d in range(1, min(multiprobe, planes) + 1):
+        for flips in combinations(range(planes), d):
+            fl = set(flips)
+            probes.append(
+                F.concat(*[flipped(i) if i in fl else bit(i) for i in range(planes)])
             )
-        )
     return sig.select(
         "id", F.explode(F.array(*probes)).alias("bucket")
     )

@@ -123,17 +123,26 @@ class SparkPGFrame:
         edge_renames: dict[str, str] | None = None,
     ) -> "SparkPGFrame":
         """New frame carrying over property-type metadata for surviving
-        (possibly renamed) columns; brand-new columns get inferred types."""
+        (possibly renamed) columns; brand-new columns get inferred types.
+
+        A carried-over label is only kept when the column's Spark type still
+        satisfies it (``_valid_prop_type``) — replacing a numeric column with
+        string values must not leave a stale ``numeric`` label contradicting
+        the data; the freshly inferred type wins instead."""
         out = SparkPGFrame(nodes, edges, directed=self.directed)
         nr = node_renames or {}
         er = edge_renames or {}
         for k, v in self._node_prop_types.items():
             k2 = nr.get(k, k)
-            if k2 in out._node_prop_types:
+            if k2 in out._node_prop_types and self._valid_prop_type(
+                out._nodes, k2, v
+            ):
                 out._node_prop_types[k2] = v
         for k, v in self._edge_prop_types.items():
             k2 = er.get(k, k)
-            if k2 in out._edge_prop_types:
+            if k2 in out._edge_prop_types and self._valid_prop_type(
+                out._edges, k2, v
+            ):
                 out._edge_prop_types[k2] = v
         return out
 
@@ -324,12 +333,24 @@ class SparkPGFrame:
 
     # ---- properties (core/io.py:792-904) -------------------------------
 
-    def add_node_properties(self, props: DataFrame, merge_sets: bool = False) -> "SparkPGFrame":
+    def add_node_properties(
+        self,
+        props: DataFrame,
+        merge_sets: bool = False,
+        prop_type: str | None = None,
+    ) -> "SparkPGFrame":
         """Left-join a property frame (id, <prop...>) onto nodes.
 
         With ``merge_sets`` an existing array-typed column of the same name
         is merged by set union (the reference merges category props as set
         union, core/io.py:816-835) — new column wins otherwise.
+
+        ``prop_type`` ('category' | 'text' | 'numeric') assigns the logical
+        type of every added column, mirroring the reference's explicit
+        prop-type argument (core/io.py:792-836, default 'category'); omitted,
+        the type is inferred from the Spark schema. Invalid assignments
+        (e.g. 'numeric' on a string column) raise, like the reference's
+        PGFrameException validators (core/io.py:831-835).
         """
         new_cols = [c for c in props.columns if c != "id"]
         n = self._nodes
@@ -353,16 +374,26 @@ class SparkPGFrame:
                             )
                         ),
                     ).drop(old)
-        return self._derived(n, self._edges)
+        out = self._derived(n, self._edges)
+        if prop_type is not None:
+            for c in new_cols:
+                out._set_node_prop_type(c, prop_type)
+        return out
 
-    def add_edge_properties(self, props: DataFrame) -> "SparkPGFrame":
+    def add_edge_properties(
+        self, props: DataFrame, prop_type: str | None = None
+    ) -> "SparkPGFrame":
         new_cols = [c for c in props.columns if c not in ("src", "dst")]
         e = self._edges
         for c in new_cols:
             if c in e.columns:
                 e = e.drop(c)
         e = e.join(props, ["src", "dst"], "left")
-        return self._derived(self._nodes, e)
+        out = self._derived(self._nodes, e)
+        if prop_type is not None:
+            for c in new_cols:
+                out._set_edge_prop_type(c, prop_type)
+        return out
 
     def remove_node_properties(self, *cols: str) -> "SparkPGFrame":
         return self._derived(self._nodes.drop(*cols), self._edges)

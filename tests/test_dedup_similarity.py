@@ -79,9 +79,21 @@ def test_minhash_finds_exact_dup_and_verifies(spark, docs):
 
 
 def test_simhash_near_dups(spark, docs):
-    got = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(docs, "doc_id", "text", max_hamming=16).collect()}
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs(
+            docs, "doc_id", "text", max_hamming=16, chunks=17
+        ).collect()
+    }
     assert got.get((1, 3)) == 0  # identical => identical signatures
     assert (1, 4) not in got or got[(1, 4)] > 12  # unrelated docs are far
+
+
+def test_simhash_rejects_incomplete_banding(spark, docs):
+    """chunks <= max_hamming can silently miss valid near-dup pairs
+    (pigeonhole no longer guarantees a shared block) — must refuse."""
+    with pytest.raises(ValueError, match="must exceed max_hamming"):
+        simhash_pairs(docs, "doc_id", "text", max_hamming=4, chunks=4)
 
 
 def test_simhash_plan_is_pure_catalyst(spark, docs):
@@ -195,6 +207,23 @@ def test_ivf_recall_floor(spark, vectors):
     for pair, c in cos.items():
         if pair in truth:
             assert c == pytest.approx(truth[pair], abs=1e-9)
+
+
+def test_multiprobe_distance_honored(spark):
+    """multiprobe=d must probe every bucket within Hamming distance d, not
+    just distance 1 (ADVICE r2: the knob silently bought nothing above 1)."""
+    from math import comb
+
+    from bluegraph_spark.operators.similarity import _probe_buckets
+
+    planes = 5
+    sig = spark.createDataFrame([("x", "10110")], "id string, bucket string")
+    for mp in (1, 2, 3):
+        got = {r.bucket for r in _probe_buckets(sig, planes, mp).collect()}
+        assert len(got) == sum(comb(planes, d) for d in range(mp + 1))
+        assert all(
+            sum(a != b for a, b in zip(bk, "10110")) <= mp for bk in got
+        )
 
 
 def test_lsh_recall_reasonable(spark, vectors):

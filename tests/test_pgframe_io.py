@@ -121,6 +121,39 @@ def test_prop_type_surface(spark, small_pg):
     assert sub.is_numeric_node_prop("score") and sub.is_numeric_edge_prop("mi")
 
 
+def test_prop_type_not_stale_after_replacement(spark, small_pg):
+    """Overwriting a numeric prop with string values must not carry the old
+    'numeric' label onto the replaced column (ADVICE r2): the exported
+    node_property_types would contradict the data."""
+    str_scores = spark.createDataFrame(
+        [("a", "low"), ("b", "high"), ("c", "low")], "id string, score string"
+    )
+    out = small_pg.add_node_properties(str_scores)
+    assert not out.is_numeric_node_prop("score")
+    assert out.is_categorical_node_prop("score")
+    assert out.to_json()["node_property_types"]["score"] == "category"
+    # a still-numeric replacement keeps the numeric label
+    num_scores = spark.createDataFrame(
+        [("a", 9.0), ("b", 8.0)], "id string, score double"
+    )
+    assert small_pg.add_node_properties(num_scores).is_numeric_node_prop("score")
+
+
+def test_add_properties_prop_type_argument(spark, small_pg):
+    """Explicit prop_type on add, like the reference (core/io.py:792-836);
+    invalid assignments raise like its validators."""
+    tags = spark.createDataFrame([("a", "hot"), ("b", "cold")], "id string, tag string")
+    out = small_pg.add_node_properties(tags, prop_type="text")
+    assert out.is_text_node_prop("tag")
+    with pytest.raises(ValueError):
+        small_pg.add_node_properties(tags, prop_type="numeric")
+    ew = spark.createDataFrame(
+        [("a", "b", 2.0)], "src string, dst string, w double"
+    )
+    out = small_pg.add_edge_properties(ew, prop_type="category")
+    assert out.is_categorical_edge_prop("w")
+
+
 def test_aggregate_duplicate_nodes_array_union(spark):
     """Array props merge by set union like the reference's safe merge
     (core/utils.py:43-56); scalars by max (documented divergence)."""
