@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from bluegraph_spark.plans.checkpoint import SuperstepCheckpointer
+from bluegraph_spark.plans.isolation import loop_session, rebind
 
 
 @dataclass
@@ -117,11 +118,15 @@ def connected_components(
 
     Loop discipline (same as :func:`pagerank`): the shuffle width is sized
     from the measured edge count (~250k rows/partition) and AQE is frozen
-    for the fixed-shape round plans — both session-global conf toggles,
-    restored in a ``finally``; NOT re-entrant with concurrent planning on
-    the same session (use ``spark.newSession()`` for parallel workloads).
+    for the fixed-shape round plans — both pinned on the loop's own
+    ``newSession()`` of the caller's SparkContext, so the caller's conf is
+    never mutated and concurrent planning on it is unaffected.
     """
-    spark = edges.sparkSession
+    caller = edges.sparkSession
+    spark = loop_session(caller)
+    edges = rebind(edges, spark)
+    if nodes is not None:
+        nodes = rebind(nodes, spark)
     # Ids keep their native type (numeric min for longs, lexicographic min
     # for strings): long comparisons and shuffles are several times cheaper
     # than strings at 10^9-vertex scale, and every step below only needs an
@@ -161,51 +166,47 @@ def connected_components(
             if cnt0
             else conf_parts
         )
-    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
 
     history: list[dict[str, Any]] = []
     converged = False
     rnd = start_round
-    try:
-        # Freeze the plan for the loop: the round plan is fixed-shape over a
-        # small known-size state, so AQE's per-stage driver re-planning is
-        # pure serial overhead, and the shuffle width should match the data,
-        # not the session default. (At sandbox scale the win is modest —
-        # ~16s -> ~11s for cc_orders at sf0.1, the floor being per-stage
-        # fixed costs — but at cluster scale a mis-sized width is the
-        # difference between 1 task wave and thousands of empty tasks.)
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
-        while rnd < max_rounds:
-            rnd += 1
-            t0 = time.time()
-            # Convergence signature rides the materialization job as observed
-            # metrics — no second pass over the edges.
-            e_new, sig = _materialize_with_sig(
-                _small_star(_large_star(e)), rnd, checkpointer
-            )
-            history.append(
-                {
-                    "round": rnd,
-                    "superstep_sec": round(time.time() - t0, 3),
-                    "edges": sig[0],
-                    "hash": sig[1],
-                }
-            )
-            if checkpointer is not None:
-                from bluegraph_spark.operators.pagerank import _update_metrics
+    # Freeze the plan for the loop: the round plan is fixed-shape over a
+    # small known-size state, so AQE's per-stage driver re-planning is
+    # pure serial overhead, and the shuffle width should match the data,
+    # not the session default. (At sandbox scale the win is modest —
+    # ~16s -> ~11s for cc_orders at sf0.1, the floor being per-stage
+    # fixed costs — but at cluster scale a mis-sized width is the
+    # difference between 1 task wave and thousands of empty tasks.)
+    # Both pins land on the loop's private session and die with it.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    while rnd < max_rounds:
+        rnd += 1
+        t0 = time.time()
+        # Convergence signature rides the materialization job as observed
+        # metrics — no second pass over the edges.
+        e_new, sig = _materialize_with_sig(
+            _small_star(_large_star(e)), rnd, checkpointer
+        )
+        history.append(
+            {
+                "round": rnd,
+                "superstep_sec": round(time.time() - t0, 3),
+                "edges": sig[0],
+                "hash": sig[1],
+            }
+        )
+        if checkpointer is not None:
+            from bluegraph_spark.operators.pagerank import _update_metrics
 
-                _update_metrics(
-                    checkpointer, rnd, {"sig_cnt": sig[0], "sig_hash": sig[1]}
-                )
-            e = e_new
-            if sig == prev_sig:
-                converged = True
-                break
-            prev_sig = sig
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
-        spark.conf.set("spark.sql.shuffle.partitions", str(conf_parts))
+            _update_metrics(
+                checkpointer, rnd, {"sig_cnt": sig[0], "sig_hash": sig[1]}
+            )
+        e = e_new
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
 
     # stars: (a=child, b=root). Roots + isolated nodes label themselves.
     members = e.select(F.col("a").alias("id"), F.col("b").alias("component"))
@@ -225,4 +226,4 @@ def connected_components(
     # a node can appear in members only once at convergence; distinct guards
     # the non-converged (max_rounds hit) case
     comp = comp.groupBy("id").agg(F.min("component").alias("component"))
-    return ComponentsResult(comp, rnd, converged, history)
+    return ComponentsResult(rebind(comp, caller), rnd, converged, history)

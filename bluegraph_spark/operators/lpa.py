@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from bluegraph_spark.pgframe import symmetrize_edges
 from bluegraph_spark.plans.checkpoint import SuperstepCheckpointer
+from bluegraph_spark.plans.isolation import loop_session, rebind
 
 
 @dataclass
@@ -60,12 +61,15 @@ def label_propagation(
 ) -> LPAResult:
     """Deterministic synchronous LPA over undirected ``(src, dst[, w])``.
 
-    NOT re-entrant on a shared session: like :func:`pagerank`, the superstep
-    loop sets session-global conf (AQE off, shuffle width = n_parts) and
-    restores it in a ``finally`` — plan concurrent queries on a separate
-    session (``spark.newSession()``).
+    Conf isolation: like :func:`pagerank`, the superstep loop pins AQE off
+    and the shuffle width — on its own ``newSession()`` of the caller's
+    SparkContext, so the caller's conf is never mutated.
     """
-    spark = edges.sparkSession
+    caller = edges.sparkSession
+    spark = loop_session(caller)
+    edges = rebind(edges, spark)
+    if nodes is not None:
+        nodes = rebind(nodes, spark)
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     # Ids (and therefore labels) keep their native type; the min-label
     # tie-break uses that type's ordering (numeric for ints, lexicographic
@@ -107,7 +111,7 @@ def label_propagation(
             e0.unpersist()
             e.unpersist()
             return LPAResult(
-                labels.select("id", "label"), start_iter, True,
+                rebind(labels.select("id", "label"), caller), start_iter, True,
                 checkpointer.metrics_log(),
             )
     else:
@@ -121,7 +125,6 @@ def label_propagation(
 
     e.count()  # materialize the CSR cache under AQE before freezing the plan
     e0.unpersist()
-    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
 
     history: list[dict[str, Any]] = []
     converged = False
@@ -179,8 +182,8 @@ def label_propagation(
                 converged = True
                 break
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
-        spark.conf.set("spark.sql.shuffle.partitions", str(conf_parts))
         e.unpersist()
 
-    return LPAResult(labels.select("id", "label"), it, converged, history)
+    return LPAResult(
+        rebind(labels.select("id", "label"), caller), it, converged, history
+    )

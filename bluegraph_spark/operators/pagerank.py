@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from bluegraph_spark.pgframe import symmetrize_edges
 from bluegraph_spark.plans.checkpoint import SuperstepCheckpointer
+from bluegraph_spark.plans.isolation import loop_session, rebind
 
 
 @dataclass
@@ -69,18 +70,19 @@ def pagerank(
     ``resume=True`` continues from the checkpointer's latest complete
     superstep.
 
-    NOT re-entrant on a shared session: for the duration of the superstep
-    loop this function sets session-global conf (``spark.sql.adaptive.
-    enabled=false`` and ``spark.sql.shuffle.partitions=n_parts``) and
-    restores both in a ``finally``. Any query *planned concurrently on the
-    same SparkSession from another driver thread* would pick those values
-    up. Run concurrent workloads on separate sessions
-    (``spark.newSession()``), or plan them before/after the loop. (Scoping
-    per-query is not expressible: AQE and the shuffle width are plan-time
-    session properties, and the exchange-free superstep join depends on
-    both.)
+    Conf isolation: the superstep loop pins plan-time session conf (AQE off,
+    ``spark.sql.shuffle.partitions=n_parts`` — the exchange-free superstep
+    join depends on both), so the whole loop runs on its own
+    ``newSession()`` of the caller's SparkContext (same cache, isolated
+    SQLConf). The caller's session conf is never touched; queries planned
+    concurrently on it from other driver threads see their own settings
+    throughout.
     """
-    spark = edges.sparkSession
+    caller = edges.sparkSession
+    spark = loop_session(caller)
+    edges = rebind(edges, spark)
+    if nodes is not None:
+        nodes = rebind(nodes, spark)
     src, dst = "src", "dst"
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     # Ids keep their native type: joins/sorts on longs are several times
@@ -154,7 +156,7 @@ def pagerank(
         # hardcoded string — unioning/joining against pagerank output must
         # see one consistent type contract whether or not the graph is empty
         empty = vertices.withColumn("rank", F.lit(0.0)).select("id", "rank")
-        return PageRankResult(empty, 0, True, 0.0)
+        return PageRankResult(rebind(empty, caller), 0, True, 0.0)
 
     history: list[dict[str, Any]] = []
     start_iter = 0
@@ -170,7 +172,8 @@ def pagerank(
             out.unpersist()
             norm.unpersist()
             return PageRankResult(
-                state.select("id", "rank"), start_iter, True, err, checkpointer.metrics_log()
+                rebind(state.select("id", "rank"), caller),
+                start_iter, True, err, checkpointer.metrics_log(),
             )
     else:
         # Pin the initial state's layout to (id-hash, n_parts) so superstep
@@ -199,10 +202,10 @@ def pagerank(
     # Materialize the edge cache under AQE, then freeze the plan: inside the
     # loop every superstep re-runs the same fixed-shape plan over explicitly
     # partitioned inputs, and AQE's per-stage driver re-planning is pure
-    # serial overhead there (measured at seconds per superstep).
+    # serial overhead there (measured at seconds per superstep). The conf
+    # pins land on the loop's own session only (see ``loop_session``).
     norm.count()
     e.unpersist()
-    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
 
     converged = False
     err = float("inf")
@@ -278,12 +281,12 @@ def pagerank(
             if converged:
                 break
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
-        spark.conf.set("spark.sql.shuffle.partitions", str(conf_parts))
         norm.unpersist()
         out.unpersist()
 
-    return PageRankResult(state.select("id", "rank"), it, converged, err, history)
+    return PageRankResult(
+        rebind(state.select("id", "rank"), caller), it, converged, err, history
+    )
 
 
 def _update_metrics(cp: SuperstepCheckpointer, iteration: int, extra: dict) -> None:
