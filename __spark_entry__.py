@@ -431,9 +431,13 @@ def q_simhash_manku_docs(spark, sf_dir):
 
 
 def q_lsh_cosine_docs(spark, sf_dir):
-    """Approximate ANN (random-hyperplane LSH). No SQL oracle: the plane
-    weights are xxhash64-derived, which DuckDB cannot reproduce — the driver
-    records the weaker rows-only check for this one by design."""
+    """Approximate ANN (random-hyperplane LSH), fully oracled: the
+    hyperplanes are deterministic literal doubles (similarity._plane_weights
+    replicates Spark's xxhash64 driver-side), so ``_lsh_sql`` emits the SAME
+    plane constants into plain SQL — sign-of-dot buckets, Hamming-1
+    multiprobe, bucket equi-join per table, exact in-bucket cosine, top-k.
+    Dot products are written as left-associated sums on both engines, so
+    bucket bits and rank order are bit-identical."""
     from bluegraph_spark.operators.similarity import lsh_cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -886,6 +890,109 @@ WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
 """
 
 
+def _lsh_sql(
+    k: int = 3,
+    planes: int = 8,
+    tables: int = 2,
+    seed: int = 42,
+    dim: int = 64,
+    n_queries: int = 30,
+) -> str:
+    """DuckDB replica of ``lsh_cosine_topk`` with the engine's exact knobs.
+
+    The hyperplanes are the same literal doubles the Spark plan embeds
+    (``_plane_weights`` replicates Spark's xxhash64 driver-side), and every
+    dot product / sum of squares is written as a left-associated sum —
+    matching Spark's ``F.aggregate`` fold order — so bucket sign bits and
+    the pre-round cosine ranking are bit-identical across engines."""
+    from bluegraph_spark.operators.similarity import _plane_weights
+
+    def dot(vcol: str, ws: list[float]) -> str:
+        return "(" + " + ".join(
+            f"{vcol}[{i + 1}] * ({w!r})" for i, w in enumerate(ws)
+        ) + ")"
+
+    def sumsq(vcol: str) -> str:
+        return "(" + " + ".join(
+            f"{vcol}[{i + 1}] * {vcol}[{i + 1}]" for i in range(dim)
+        ) + ")"
+
+    bucket_cols = []
+    for t in range(tables):
+        ws = _plane_weights(dim, planes, seed + 1000 * t)
+        bits = " || ".join(
+            f"(CASE WHEN {dot('v', ws[p])} >= 0 THEN '1' ELSE '0' END)"
+            for p in range(planes)
+        )
+        bucket_cols.append(f"({bits}) AS bkt{t}")
+
+    def probes(bcol: str) -> str:
+        # the bucket itself + every Hamming-distance-1 flip (multiprobe=1)
+        items = [bcol]
+        for i in range(planes):
+            items.append(
+                f"substr({bcol}, 1, {i}) || "
+                f"(CASE WHEN substr({bcol}, {i + 1}, 1) = '1' THEN '0' ELSE '1' END)"
+                f" || substr({bcol}, {i + 2}, {planes - i - 1})"
+            )
+        return "[" + ", ".join(items) + "]"
+
+    qprobe_union = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {t} AS tbl, unnest({probes(f'bkt{t}')}) AS bucket FROM qsig"
+        for t in range(tables)
+    )
+    csig_union = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {t} AS tbl, bkt{t} AS bucket FROM sig"
+        for t in range(tables)
+    )
+    dot_qc = "(" + " + ".join(
+        f"q.v[{i + 1}] * c.v[{i + 1}]" for i in range(dim)
+    ) + ")"
+    return f"""
+WITH prep AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+nz AS (
+  SELECT vec_id, v, {sumsq('v')} AS sq FROM prep WHERE {sumsq('v')} > 0
+),
+sig AS (
+  SELECT vec_id, {", ".join(bucket_cols)} FROM nz
+),
+qsig AS (SELECT * FROM sig WHERE vec_id < {n_queries}),
+qprobes AS (
+{qprobe_union}
+),
+csig AS (
+{csig_union}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM qprobes q JOIN csig c ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE q.vec_id <> c.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         {dot_qc} / (sqrt(q.sq) * sqrt(c.sq)) AS cosine
+  FROM cand
+  JOIN nz q ON q.vec_id = cand.query_id
+  JOIN nz c ON c.vec_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       ROUND(cosine, 6) AS cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _quality_sql() -> str:
     from bluegraph_spark.functions.text import EN_STOPWORDS
 
@@ -1132,6 +1239,7 @@ FROM toks GROUP BY 1
         "quality_docs": _quality_sql(),
         "simhash_docs": _simhash_sql(),
         "simhash_manku_docs": _simhash_sql(),
+        "lsh_cosine_docs": _lsh_sql(),
         "frame_sample_docs": """
 SELECT doc_id AS media_id,
        'video' AS kind,
