@@ -17,6 +17,7 @@ terms-co-occur-in-papers semantics, SURVEY.md §2.4):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -452,10 +453,11 @@ def q_lsh_cosine_docs(spark, sf_dir):
 
 
 def q_ivf_cosine_docs(spark, sf_dir):
-    """IVF ANN over the embeddings table. No SQL oracle: the codebook is a
-    Lloyd fit whose float reductions are not DuckDB-reproducible — the
-    driver records the weaker rows-only check (row count is stable: exactly
-    k rows per query)."""
+    """IVF ANN over the embeddings table, fully oracled: the codebook is a
+    deterministic numpy Lloyd fit over a hash-ordered sample (the same pure
+    function the oracle generator runs on the same parquet), so ``_ivf_sql``
+    embeds bit-identical centroid literals — argmax cell assignment,
+    top-nprobe cell probing, exact in-cell cosine, top-k — in plain SQL."""
     from bluegraph_spark.operators.similarity import ivf_cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -993,6 +995,129 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _ivf_oracle_codebook(
+    sf_dir: str = None,
+    n_centroids: int = 16,
+    lloyd_iters: int = 2,
+    sample_size: int = 65_536,
+) -> list[list[float]]:
+    """Replay the engine's IVF codebook fit off-Spark: read the embeddings
+    parquet directly, apply the same zero-norm filter, order by the same
+    (xxhash64(id), id) key (Spark's xxhash64 replicated in pure Python),
+    take the same sample, run the same numpy Lloyd. Bit-identical output
+    to ``ivf_fit_centroids`` on the same table.
+
+    The correctness gate runs oracles at sf0.01 (driver contract), so the
+    parquet path defaults to that directory (env-overridable via
+    SPARK_GRAFT_ORACLE_SF_DIR)."""
+    import duckdb
+    import numpy as np
+
+    from bluegraph_spark.operators.similarity import (
+        lloyd_codebook,
+        spark_xxhash64_long,
+    )
+
+    path = f"{sf_dir or ORACLE_SF_DIR}/embeddings.parquet"
+    rows = duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{path}')"
+    ).fetchall()
+    recs = []
+    for vid, emb in rows:
+        v = np.asarray(emb, dtype=np.float64)
+        if float((v * v).sum()) > 0:
+            recs.append((spark_xxhash64_long(int(vid)), int(vid), v))
+    recs.sort(key=lambda t: (t[0], t[1]))
+    return lloyd_codebook(
+        np.stack([r[2] for r in recs[:sample_size]]), n_centroids, lloyd_iters
+    )
+
+
+def _ivf_sql(
+    k: int = 3,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    n_queries: int = 30,
+) -> str:
+    """DuckDB replica of ``ivf_cosine_topk`` with the engine's exact knobs:
+    centroid literals from ``_ivf_oracle_codebook`` (bit-identical to the
+    engine fit), left-associated dot products matching the engine's
+    aggregate-fold order, first-index argmax cell assignment, top-nprobe
+    probing with the engine's (dot desc, cell desc) tie-break, exact cosine
+    inside probed cells, top-k."""
+    cents = _ivf_oracle_codebook(n_centroids=n_centroids)
+    nprobe = min(nprobe, len(cents))
+
+    def dot(vcol: str, ws: list[float]) -> str:
+        return "(" + " + ".join(
+            f"{vcol}[{i + 1}] * ({w!r})" for i, w in enumerate(ws)
+        ) + ")"
+
+    def sumsq(vcol: str) -> str:
+        return "(" + " + ".join(
+            f"{vcol}[{i + 1}] * {vcol}[{i + 1}]" for i in range(dim)
+        ) + ")"
+
+    ds = "[" + ", ".join(dot("v", c) for c in cents) + "]"
+    dot_qc = "(" + " + ".join(
+        f"q.v[{i + 1}] * c.v[{i + 1}]" for i in range(dim)
+    ) + ")"
+    return f"""
+WITH prep AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+nz AS (
+  SELECT vec_id, v, {sumsq('v')} AS sq FROM prep WHERE {sumsq('v')} > 0
+),
+dots AS (
+  SELECT vec_id, {ds} AS ds FROM nz
+),
+assigned AS (
+  SELECT vec_id, list_indexof(ds, list_max(ds)) - 1 AS cell FROM dots
+),
+qrank AS (
+  SELECT vec_id, pos - 1 AS cell,
+         row_number() OVER (
+           PARTITION BY vec_id ORDER BY d DESC, pos DESC
+         ) AS rn
+  FROM (
+    SELECT vec_id, generate_subscripts(ds, 1) AS pos, unnest(ds) AS d
+    FROM dots WHERE vec_id < {n_queries}
+  )
+),
+qprobes AS (SELECT vec_id, cell FROM qrank WHERE rn <= {nprobe}),
+cand AS (
+  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+  FROM qprobes p JOIN assigned a ON p.cell = a.cell
+  WHERE p.vec_id <> a.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         {dot_qc} / (sqrt(q.sq) * sqrt(c.sq)) AS cosine
+  FROM cand
+  JOIN nz q ON q.vec_id = cand.query_id
+  JOIN nz c ON c.vec_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       ROUND(cosine, 6) AS cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _quality_sql() -> str:
     from bluegraph_spark.functions.text import EN_STOPWORDS
 
@@ -1240,6 +1365,7 @@ FROM toks GROUP BY 1
         "simhash_docs": _simhash_sql(),
         "simhash_manku_docs": _simhash_sql(),
         "lsh_cosine_docs": _lsh_sql(),
+        "ivf_cosine_docs": _ivf_sql(),
         "frame_sample_docs": """
 SELECT doc_id AS media_id,
        'video' AS kind,

@@ -135,6 +135,14 @@ def _plane_weights(dim: int, planes: int, seed: int) -> list[list[float]]:
     ]
 
 
+def spark_xxhash64_long(value: int, seed: int = 42) -> int:
+    """Signed value of Spark's ``F.xxhash64`` over a single LongType column
+    (default seed 42). Lets off-Spark code (the DuckDB oracle generator)
+    replay sample selections that order by ``xxhash64(id)``."""
+    h = _xxh_long(value & _M64, seed)
+    return h - (1 << 64) if h >= 1 << 63 else h
+
+
 def lsh_signatures(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -204,6 +212,39 @@ def _centroid_dots(vec, centroids: list[list[float]]):
     )
 
 
+def lloyd_codebook(
+    mat, n_centroids: int, lloyd_iters: int
+) -> list[list[float]]:
+    """Deterministic Lloyd refinement over a fixed-order sample matrix
+    (numpy float64, rows already in the canonical sample order): seeds are
+    the first ``n_centroids`` rows, assignment is first-index argmax of the
+    dot with each L2-normalized centroid, update is the row-order mean of
+    each cluster, empty clusters keep their previous centroid.
+
+    Pure and driver-side on purpose: the engine fit and the DuckDB oracle
+    generator call this SAME function on the SAME sample, so the codebook
+    literals embedded in both plans are bit-identical."""
+    import numpy as np
+
+    mat = np.asarray(mat, dtype=np.float64)
+
+    def normalize(m):
+        n = np.sqrt((m * m).sum(axis=1, keepdims=True))
+        n[n == 0] = 1.0
+        return m / n
+
+    cents = normalize(mat[:n_centroids].copy())
+    for _ in range(lloyd_iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        new = cents.copy()
+        for ci in range(len(cents)):
+            rows = mat[assign == ci]
+            if len(rows):
+                new[ci] = rows.mean(axis=0)
+        cents = normalize(new)
+    return [[float(x) for x in c] for c in cents]
+
+
 def ivf_fit_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -211,52 +252,34 @@ def ivf_fit_centroids(
     n_centroids: int = 64,
     lloyd_iters: int = 2,
     dim: int | None = None,
+    sample_size: int = 65_536,
 ) -> list[list[float]]:
-    """Deterministic IVF codebook: seed with the ``n_centroids`` corpus
-    vectors of smallest ``xxhash64(id)`` (reproducible, data-dependent), then
-    ``lloyd_iters`` rounds of Lloyd refinement computed as DataFrame jobs
-    (assign = argmax of codegen'd dot products; update = per-(cluster, pos)
-    mean via posexplode). Returns L2-normalized centroids as plain Python
-    lists — a few thousand doubles, broadcast as literals into the plans
-    that use them. The fit collects only C×dim numbers to the driver."""
-    import math
+    """Deterministic IVF codebook, trained on a bounded sample: the
+    ``sample_size`` corpus vectors of smallest ``(xxhash64(id), id)`` (a
+    reproducible uniform sample with a stable total order) are collected to
+    the driver and refined with :func:`lloyd_codebook`.
 
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
-    c = _prep(corpus, id_col, vec_col, "c").persist()
-    seed_rows = (
-        c.orderBy(F.xxhash64("c_id"), "c_id")
-        .limit(n_centroids)
+    Training on a bounded sample is the standard IVF practice (Faiss trains
+    codebooks on ~50-256 points per centroid): at 100 TB the alternative —
+    Lloyd passes over the full corpus — costs 2 full scans per iteration for
+    no recall benefit, while the sample collect is one top-k job of
+    ``sample_size × dim`` doubles (~32 MB at the default and dim=64).
+    Determinism also buys verifiability: the DuckDB differential oracle
+    replays the same sample selection (the xxhash64 is replicated in pure
+    Python) and the same numpy refinement, so the centroid literals in both
+    plans are bit-identical. Returns L2-normalized centroids as plain
+    Python lists, embedded as literals into the plans that use them.
+
+    ``dim`` is accepted for API compatibility and ignored (the fit no
+    longer needs a plan-time peek)."""
+    rows = (
+        _prep(corpus, id_col, vec_col, "c")
+        .orderBy(F.xxhash64("c_id"), "c_id")
+        .limit(sample_size)
         .select("c_vec")
         .collect()
     )
-
-    def normalize(v):
-        n = math.sqrt(sum(x * x for x in v))
-        return [x / n for x in v] if n > 0 else list(v)
-
-    centroids = [normalize(r["c_vec"]) for r in seed_rows]
-    for _ in range(lloyd_iters):
-        dots = _centroid_dots(F.col("c_vec"), centroids)
-        assigned = c.select(
-            "c_vec",
-            (F.array_position(dots, F.array_max(dots)) - 1).alias("_cl"),
-        )
-        means = (
-            assigned.select("_cl", F.posexplode("c_vec").alias("_pos", "_x"))
-            .groupBy("_cl", "_pos")
-            .agg(F.avg("_x").alias("_m"))
-            .collect()
-        )
-        by_cluster: dict[int, list[float]] = {}
-        for r in means:
-            by_cluster.setdefault(int(r["_cl"]), [0.0] * dim)[int(r["_pos"])] = r["_m"]
-        # empty clusters keep their previous centroid
-        centroids = [
-            normalize(by_cluster.get(i, centroids[i])) for i in range(len(centroids))
-        ]
-    c.unpersist()
-    return centroids
+    return lloyd_codebook([r["c_vec"] for r in rows], n_centroids, lloyd_iters)
 
 
 def ivf_cosine_topk(
