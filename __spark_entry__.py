@@ -482,8 +482,10 @@ def _doc_media(spark, sf_dir):
 
 def q_media_features_docs(spark, sf_dir):
     """Multimodal plumbing: mapInPandas byte-feature extraction over binary
-    payloads. No SQL oracle (mapInPandas is not SQL-expressible); the driver
-    records the rows-only check."""
+    payloads — oracled despite not being SQL-expressible *as a plan*: the
+    byte statistics themselves are (``_media_sql`` parses the payload bytes
+    out of ``hex(encode(text))``); sums/sumsq are exact integers so the
+    mean/std doubles are bit-identical to the numpy kernel's."""
     from bluegraph_spark.operators.multimodal import extract_media_features
 
     feats = extract_media_features(_doc_media(spark, sf_dir))
@@ -1118,6 +1120,49 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _media_sql() -> str:
+    """DuckDB replica of the mapInPandas byte-feature kernel
+    (multimodal.fake_byte_features) over payload = UTF-8 bytes of ``text``:
+    per-byte values come from the hex dump of the blob; byte sums and
+    sums-of-squares are exact integers, so mean = s/n and
+    std = sqrt(max(ss/n - mean^2, 0)) reproduce the numpy doubles bit-for-
+    bit (same expressions over the same exact integers)."""
+    hexv = "(strpos('0123456789ABCDEF', {c}) - 1)"
+    hi = hexv.format(c="substr(h, 2 * i + 1, 1)")
+    lo = hexv.format(c="substr(h, 2 * i + 2, 1)")
+    return f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+  FROM documents
+),
+bytes AS (
+  SELECT doc_id, n, ({hi} * 16 + {lo}) AS v
+  FROM (SELECT doc_id, h, n, unnest(range(n)) AS i FROM b)
+),
+agg AS (
+  SELECT doc_id, n, sum(v) AS s, sum(v * v) AS ss
+  FROM bytes GROUP BY 1, 2
+),
+feat AS (
+  SELECT doc_id, n,
+         CAST(s AS DOUBLE) / n AS mean,
+         sqrt(greatest(
+           CAST(ss AS DOUBLE) / n
+             - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+           0.0)) AS std
+  FROM agg
+  UNION ALL
+  SELECT doc_id, 0, 0.0, 0.0 FROM b WHERE n = 0
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       'video' AS kind,
+       CAST(n AS BIGINT) AS n_bytes,
+       ROUND(mean, 6) AS byte_mean,
+       ROUND(std, 6) AS byte_std
+FROM feat
+"""
+
+
 def _quality_sql() -> str:
     from bluegraph_spark.functions.text import EN_STOPWORDS
 
@@ -1366,6 +1411,7 @@ FROM toks GROUP BY 1
         "simhash_manku_docs": _simhash_sql(),
         "lsh_cosine_docs": _lsh_sql(),
         "ivf_cosine_docs": _ivf_sql(),
+        "media_features_docs": _media_sql(),
         "frame_sample_docs": """
 SELECT doc_id AS media_id,
        'video' AS kind,

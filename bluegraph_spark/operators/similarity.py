@@ -20,7 +20,9 @@ replacement.)
 
 from __future__ import annotations
 
+import warnings
 from itertools import combinations
+from math import comb
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -389,6 +391,73 @@ def lsh_candidate_pairs(
     return cand.filter(F.col("query_id") != F.col("neighbor_id")).distinct()
 
 
+def lsh_expected_candidate_fraction(
+    planes: int, tables: int, multiprobe: int = 1
+) -> float:
+    """Uniform-bucket estimate of |candidates| / (|queries|·|corpus|) for a
+    sign-LSH configuration: each query probes ``1 + Σ C(planes, d)`` buckets
+    per table out of ``2^planes``. An upper-bound sanity check (clustered
+    corpora concentrate mass in shared buckets, raising the true fraction;
+    that is the regime where LSH recall is good)."""
+    probes = 1 + sum(
+        comb(planes, d) for d in range(1, min(max(multiprobe, 0), planes) + 1)
+    )
+    return min(1.0, tables * probes / 2.0**planes)
+
+
+def lsh_candidate_report(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 12,
+    tables: int = 3,
+    seed: int = 42,
+    dim: int | None = None,
+    multiprobe: int = 1,
+) -> dict:
+    """Measured candidate-volume diagnostic for an LSH configuration.
+
+    Counts the actual candidate pairs and compares the fraction against the
+    ``5·k/|corpus|`` floor below which top-k recall collapses (fewer than
+    ~5k candidates per query to rank). Emits a ``UserWarning`` pointing at
+    the knobs (and at :func:`ivf_cosine_topk`) when starved. Run this on a
+    sample before committing to a configuration at scale — recall is
+    data-dependent and the BENCH recall table shows defaults that are fine
+    on clustered corpora are near-useless on flat-spectrum ones."""
+    n_q = queries.count()
+    n_c = corpus.count()
+    n_cand = lsh_candidate_pairs(
+        queries, corpus, id_col, vec_col, planes, tables, seed, dim, multiprobe
+    ).count()
+    fraction = n_cand / max(n_q * n_c, 1)
+    floor = 5.0 * k / max(n_c, 1)
+    ok = fraction >= floor
+    rep = {
+        "n_queries": n_q,
+        "n_corpus": n_c,
+        "n_candidates": n_cand,
+        "candidate_fraction": fraction,
+        "candidates_per_query": n_cand / max(n_q, 1),
+        "floor_fraction": floor,
+        "expected_fraction_uniform": lsh_expected_candidate_fraction(
+            planes, tables, multiprobe
+        ),
+        "ok": ok,
+    }
+    if not ok:
+        warnings.warn(
+            f"LSH configuration is candidate-starved: measured candidate "
+            f"fraction {fraction:.2e} < floor {floor:.2e} (~5*k/|corpus|); "
+            f"top-{k} recall will be poor. Lower planes, raise tables/"
+            f"multiprobe, or use ivf_cosine_topk (candidate volume "
+            f"independent of the similarity distribution).",
+            stacklevel=2,
+        )
+    return rep
+
+
 def lsh_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -400,6 +469,7 @@ def lsh_cosine_topk(
     seed: int = 42,
     dim: int | None = None,
     multiprobe: int = 1,
+    corpus_size: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: union of ``tables`` independent LSH tables, exact
     cosine inside shared buckets, top-k per query.
@@ -411,9 +481,26 @@ def lsh_cosine_topk(
     Recall is data-dependent: with sign LSH the per-table collision
     probability of a neighbor at angle θ is (1-θ/π)^planes, so corpora whose
     true neighbors are low-cosine (flat similarity spectrum) need more
-    tables/probes or fewer planes — measure with recall@k against
-    :func:`cosine_topk` on a sample (bench.py does exactly this).
+    tables/probes or fewer planes — the measured BENCH table shows the
+    defaults scoring recall@5 < 0.1 on such data while
+    :func:`ivf_cosine_topk` (whose candidate volume is
+    similarity-distribution-independent) dominates. Measure before trusting:
+    :func:`lsh_candidate_report` counts actual candidates and warns when the
+    configuration is starved; passing ``corpus_size`` here performs the
+    cheap analytic version of that check (no extra Spark job) and warns if
+    the expected candidate volume cannot support top-k recall.
     """
+    if corpus_size:
+        expected = lsh_expected_candidate_fraction(planes, tables, multiprobe)
+        if expected * corpus_size < 5 * k:
+            warnings.warn(
+                f"LSH configuration likely candidate-starved: expected "
+                f"~{expected * corpus_size:.1f} candidates/query (uniform-"
+                f"bucket estimate) < 5*k={5 * k}. Lower planes, raise "
+                f"tables/multiprobe, or use ivf_cosine_topk; "
+                f"lsh_candidate_report measures the real volume.",
+                stacklevel=2,
+            )
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     q = _prep(queries, id_col, vec_col, "q")

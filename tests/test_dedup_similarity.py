@@ -226,6 +226,49 @@ def test_multiprobe_distance_honored(spark):
         )
 
 
+def test_lsh_candidate_starvation_warnings(spark, vectors):
+    """The flat-spectrum footgun must announce itself: both the analytic
+    (corpus_size) check and the measured lsh_candidate_report warn when a
+    configuration cannot feed top-k ranking enough candidates."""
+    from math import comb
+
+    from bluegraph_spark.operators.similarity import (
+        lsh_candidate_report,
+        lsh_expected_candidate_fraction,
+    )
+
+    # expected-fraction math: (1 + sum C(p,d)) * tables / 2^p, capped at 1
+    assert lsh_expected_candidate_fraction(8, 2, 1) == pytest.approx(
+        2 * (1 + 8) / 256
+    )
+    assert lsh_expected_candidate_fraction(2, 9, 2) == 1.0
+    assert lsh_expected_candidate_fraction(12, 3, 2) == pytest.approx(
+        3 * (1 + 12 + comb(12, 2)) / 4096
+    )
+
+    # analytic warning: 16 planes / 1 table / no probes over a 40-vec corpus
+    with pytest.warns(UserWarning, match="candidate-starved"):
+        lsh_cosine_topk(
+            vectors, vectors, 5, dim=16, planes=16, tables=1, multiprobe=0,
+            corpus_size=40,
+        )
+    # measured warning + report fields
+    with pytest.warns(UserWarning, match="candidate-starved"):
+        rep = lsh_candidate_report(
+            vectors, vectors, 5, dim=16, planes=16, tables=1, multiprobe=0
+        )
+    assert not rep["ok"] and rep["n_corpus"] == 40
+    # a healthy configuration neither warns nor flags
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        rep = lsh_candidate_report(
+            vectors, vectors, 5, dim=16, planes=4, tables=4, multiprobe=1
+        )
+    assert rep["ok"] and rep["candidate_fraction"] >= rep["floor_fraction"]
+
+
 def test_lsh_recall_reasonable(spark, vectors):
     exact = py_topk(rng_vectors(40), 3)
     approx = {}
