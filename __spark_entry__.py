@@ -121,6 +121,54 @@ def q_lpa_suppliers(spark, sf_dir):
     return res.labels.select("id", "label")
 
 
+def _supplier_edges_npmi(spark, sf_dir):
+    """Supplier co-occurrence graph weighted by NPMI with zero-MI edges
+    pruned — the reference production pipeline's second community pass runs
+    on exactly this weighting (cord19kg/utils.py:661-671, 711-722). Weights
+    are rounded to 8 decimals on both engines so the LPA weight sums start
+    from bit-identical edge values."""
+    from bluegraph_spark.operators.cooccurrence import (
+        cooccurrence_edges,
+        occurrences_from_edges,
+    )
+
+    occ = occurrences_from_edges(
+        _t(spark, sf_dir, "lineitem"), src_col="l_suppkey", dst_col="l_partkey"
+    )
+    e = cooccurrence_edges(occ, statistics=["frequency", "npmi"])
+    return e.filter(F.col("npmi") > 0).select(
+        "src", "dst", F.round("npmi", 8).alias("npmi")
+    )
+
+
+def q_lpa_npmi_suppliers(spark, sf_dir):
+    """Second community pass of the reference pipeline: LPA on the
+    NPMI-weighted, zero-MI-pruned graph (cord19kg/utils.py:718-722 runs its
+    community detector on npmi weights after the frequency pass)."""
+    from bluegraph_spark.operators.lpa import label_propagation
+
+    res = label_propagation(
+        _supplier_edges_npmi(spark, sf_dir), weight_col="npmi", max_iter=LPA_ITERS
+    )
+    return res.labels.select("id", "label")
+
+
+def q_modularity_npmi_suppliers(spark, sf_dir):
+    """Partition quality of the nation partition under NPMI weights —
+    the npmi-weighted analogue of modularity_suppliers (reference evaluates
+    partitions per weight config, core/analyse/communities.py:123-132)."""
+    from bluegraph_spark.operators.metrics import modularity
+
+    labels = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("string").alias("id"),
+        F.col("s_nationkey").cast("string").alias("community"),
+    )
+    q = modularity(
+        _supplier_edges_npmi(spark, sf_dir), labels, weight_col="npmi"
+    )
+    return spark.createDataFrame([(round(q, 8),)], "modularity double")
+
+
 def q_triangles_parts(spark, sf_dir):
     from bluegraph_spark.operators.triangles import triangle_counts
 
@@ -554,6 +602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_parts": q_pagerank_parts,
         "cc_orders": q_cc_orders,
         "lpa_suppliers": q_lpa_suppliers,
+        "lpa_npmi_suppliers": q_lpa_npmi_suppliers,
+        "modularity_npmi_suppliers": q_modularity_npmi_suppliers,
         "triangles_parts": q_triangles_parts,
         "degree_parts": q_degree_parts,
         "density_parts": q_density_parts,
@@ -747,6 +797,91 @@ l{k} AS (
         )
     pieces.append(f"\nSELECT id, label FROM l{iters}")
     return "".join(pieces)
+
+
+_SUPP_NPMI_EDGES = f"""{_SUPP_OCC},
+pairs AS (
+  SELECT a.node AS src, b.node AS dst, count(*) AS frequency
+  FROM occ a JOIN occ b ON a.factor = b.factor AND a.node < b.node
+  GROUP BY 1, 2
+),
+nf AS (SELECT node, count(*) AS f FROM occ GROUP BY 1),
+tot AS (SELECT CAST(count(DISTINCT factor) AS DOUBLE) AS n FROM occ),
+mi AS (
+  SELECT p.src, p.dst,
+         log2((t.n * p.frequency) / (s.f * d.f)) AS pmi,
+         -log2(p.frequency / t.n) AS alpha
+  FROM pairs p
+  JOIN nf s ON s.node = p.src
+  JOIN nf d ON d.node = p.dst
+  CROSS JOIN tot t
+),
+npmi AS (
+  SELECT src, dst,
+         CASE WHEN alpha = 0 THEN 0
+              WHEN pmi / alpha > 0 THEN pmi / alpha
+              ELSE 0 END AS v
+  FROM mi
+),
+wedges AS (SELECT src, dst, ROUND(v, 8) AS w FROM npmi WHERE v > 0)"""
+
+
+def _lpa_npmi_sql(iters: int = LPA_ITERS) -> str:
+    """LPA unrolled over the NPMI-weighted zero-MI-pruned supplier graph
+    (same loop shape as _lpa_sql, weights from the reference NPMI formula
+    rounded to 8 decimals so both engines sum bit-identical edge values)."""
+    pieces = [
+        f"WITH {_SUPP_NPMI_EDGES},",
+        """
+sym AS (
+  SELECT src, dst, w FROM wedges
+  UNION ALL
+  SELECT dst, src, w FROM wedges
+),
+v AS (SELECT DISTINCT src AS id FROM sym),
+l0 AS (SELECT id, id AS label FROM v)""",
+    ]
+    for k in range(1, iters + 1):
+        pieces.append(
+            f""",
+s{k} AS (
+  SELECT e.dst AS id, l.label, sum(e.w) AS s
+  FROM sym e JOIN l{k - 1} l ON e.src = l.id GROUP BY 1, 2
+),
+b{k} AS (
+  SELECT id, label FROM (
+    SELECT id, label,
+           row_number() OVER (PARTITION BY id ORDER BY s DESC, label ASC) AS rn
+    FROM s{k}
+  ) WHERE rn = 1
+),
+l{k} AS (
+  SELECT l.id, COALESCE(b.label, l.label) AS label
+  FROM l{k - 1} l LEFT JOIN b{k} b ON l.id = b.id
+)"""
+        )
+    pieces.append(f"\nSELECT id, label FROM l{iters}")
+    return "".join(pieces)
+
+
+def _modularity_npmi_sql() -> str:
+    return f"""
+WITH {_SUPP_NPMI_EDGES},
+lab AS (SELECT CAST(s_suppkey AS VARCHAR) AS id, CAST(s_nationkey AS VARCHAR) AS c FROM supplier),
+el AS (
+  SELECT p.w, ls.c AS cs, ld.c AS ct
+  FROM wedges p JOIN lab ls ON ls.id = p.src JOIN lab ld ON ld.id = p.dst
+),
+m AS (SELECT sum(w) AS m FROM el),
+dsum AS (
+  SELECT c, sum(w) AS d FROM (
+    SELECT cs AS c, w FROM el UNION ALL SELECT ct, w FROM el
+  ) GROUP BY 1
+),
+intra AS (SELECT cs AS c, sum(w) AS e FROM el WHERE cs = ct GROUP BY 1)
+SELECT ROUND(sum(COALESCE(i.e, 0) / m.m - (d.d / (2 * m.m)) * (d.d / (2 * m.m))), 8) AS modularity
+FROM dsum d LEFT JOIN intra i USING (c), m
+"""
 
 
 _DOC_TOKS = """
@@ -1225,6 +1360,8 @@ SELECT CAST(o_orderkey AS VARCHAR) AS id,
 FROM orders
 """,
         "lpa_suppliers": _lpa_sql(),
+        "lpa_npmi_suppliers": _lpa_npmi_sql(),
+        "modularity_npmi_suppliers": _modularity_npmi_sql(),
         "triangles_parts": f"""
 WITH {_PART_OCC}, {_PART_PAIRS},
 e AS (SELECT src AS a, dst AS b FROM pairs),
