@@ -41,7 +41,11 @@ BENCH_DIR = os.path.join(REPO, ".bench")
 V = int(os.environ.get("BENCH_V", 2_000_000))
 E = int(os.environ.get("BENCH_E", 30_000_000))
 STEPS = int(os.environ.get("BENCH_STEPS", 5))
-REPS = int(os.environ.get("BENCH_REPS", 2))
+# >= 4 interleaved reps: this VM shows +/-20% co-tenant/GC noise, and a
+# 2-rep sample lets one unlucky run move the headline efficiency across the
+# 0.8 target (it did in round 2). The headline is the MEDIAN of per-rep-pair
+# efficiencies with the min/max spread reported beside it.
+REPS = int(os.environ.get("BENCH_REPS", 4))
 LOW = int(os.environ.get("BENCH_LOW_CPUS", 2))
 HIGH = int(os.environ.get("BENCH_HIGH_CPUS", 8))
 # Shuffle partitions are FIXED across parallelism levels: scaling a real
@@ -97,11 +101,11 @@ def _pagerank_run(spark, graph_path: str) -> dict:
     """Fixed-superstep weighted PageRank; steady-state superstep throughput.
 
     Protocol: one untimed warmup run (JIT + heap sizing dominate a cold
-    JVM's first job by 2-6x on this box), then REPS measured runs; the
-    per-level number is the best run's median superstep — the regime a
-    100-superstep production run lives in, with this VM's ±20% interference
-    noise (neighboring tenants, GC timing) filtered the way any two-cluster
-    comparison must filter it.
+    JVM's first job by 2-6x on this box), then one measured run whose median
+    superstep is this rep's number — the regime a 100-superstep production
+    run lives in. The caller interleaves REPS of these per parallelism
+    level and reports medians with spread (this VM shows ±20% co-tenant/GC
+    interference noise).
     """
     import statistics
 
@@ -167,7 +171,12 @@ def scaling_bench() -> dict:
 
     # Interleave the levels (low, high, low, high, ...) so slow drift in the
     # box (page cache, frequency scaling, co-tenants) hits both levels
-    # equally; per level keep the best rep's median superstep.
+    # equally. Each rep pair yields its own efficiency number (adjacent runs
+    # see the same box conditions); the headline is the median of those with
+    # the min/max spread shown beside it — robust to a single noisy rep in a
+    # way best-of/2-rep protocols are not.
+    import statistics
+
     reps: dict[int, list[dict]] = {LOW: [], HIGH: []}
     for _ in range(REPS):
         for cpus in (LOW, HIGH):
@@ -175,15 +184,25 @@ def scaling_bench() -> dict:
             reps[cpus].append(_pagerank_run(spark, graph_path))
     runs = {}
     for cpus, rr in reps.items():
-        best = min(r["median_superstep_sec"] for r in rr)
+        meds = [r["median_superstep_sec"] for r in rr]
+        med = statistics.median(meds)
         runs[cpus] = {
             "cpus": cpus,
             "edges": rr[0]["edges"],
             "supersteps": STEPS,
             "reps": rr,
-            "median_superstep_sec": best,
-            "edges_per_sec_per_superstep": round(rr[0]["edges"] / best, 1),
+            "median_superstep_sec": round(med, 3),
+            "superstep_sec_spread": [min(meds), max(meds)],
+            "edges_per_sec_per_superstep": round(rr[0]["edges"] / med, 1),
         }
+    pair_effs = [
+        round(
+            (reps[LOW][i]["median_superstep_sec"]
+             / reps[HIGH][i]["median_superstep_sec"]) / (HIGH / LOW),
+            3,
+        )
+        for i in range(REPS)
+    ]
     # peak-throughput datapoint on all cores (not part of the N→4N pair)
     all_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
     peak = None
@@ -194,14 +213,14 @@ def scaling_bench() -> dict:
             peak["edges"] / peak["median_superstep_sec"], 1
         )
 
-    thr_low = runs[LOW]["edges_per_sec_per_superstep"]
-    thr_high = runs[HIGH]["edges_per_sec_per_superstep"]
-    eff = (thr_high / thr_low) / (HIGH / LOW)
+    eff = statistics.median(pair_effs)
     out = {
         "graph": {"vertices": V, "edges": runs[HIGH]["edges"], "supersteps": STEPS},
         "low": runs[LOW],
         "high": runs[HIGH],
+        "per_rep_efficiencies": pair_effs,
         "scaling_efficiency": round(eff, 3),
+        "efficiency_spread": [min(pair_effs), max(pair_effs)],
         "cpu_ceiling_efficiency": ceiling,
         "normalized_efficiency": round(eff / ceiling, 3),
     }
@@ -346,27 +365,40 @@ def write_bench_baseline(
         rows = [scaling["low"], scaling["high"]] + (
             [scaling["peak"]] if "peak" in scaling else []
         )
+        n_reps = len(scaling.get("per_rep_efficiencies", []))
         lines += [
             "## PageRank throughput scaling (north-rule evidence)",
             "",
             f"Deterministic synthetic digraph: {g['vertices']:,} vertices, "
             f"{g['edges']:,} edges; weighted PageRank, {g['supersteps']} supersteps "
-            "per measured run, best-of-2 runs after a warmup run, identical parquet "
+            f"per measured run, {n_reps} interleaved rep pairs after a warmup run "
+            "(median reported, min/max spread beside it), identical parquet "
             "input at every parallelism level (sandbox stand-in for N vs 4N "
             "executors).",
             "",
-            "| parallelism | median superstep sec | edges/sec/superstep |",
-            "|---|---|---|",
+            "| parallelism | median superstep sec | spread (min-max) | edges/sec/superstep |",
+            "|---|---|---|---|",
         ]
         lines += [
             f"| local[{r['cpus']}] | {r['median_superstep_sec']} | "
-            f"{r['edges_per_sec_per_superstep']:,} |"
+            + (
+                f"{r['superstep_sec_spread'][0]}-{r['superstep_sec_spread'][1]}"
+                if "superstep_sec_spread" in r
+                else "—"
+            )
+            + f" | {r['edges_per_sec_per_superstep']:,} |"
             for r in rows
         ]
+        eff_spread = scaling.get("efficiency_spread")
         lines += [
             "",
             f"**Scaling efficiency ({scaling['low']['cpus']}→{scaling['high']['cpus']} "
-            f"cores): {scaling['scaling_efficiency']}** (target ≥ 0.8). "
+            f"cores): {scaling['scaling_efficiency']}** (target ≥ 0.8; median of "
+            f"per-rep-pair efficiencies {scaling.get('per_rep_efficiencies')}"
+            + (
+                f", spread {eff_spread[0]}-{eff_spread[1]}" if eff_spread else ""
+            )
+            + "). "
             f"Pure-CPU ceiling of this single box over the same core pair "
             f"(spin-loop processes, no shared state): "
             f"{scaling['cpu_ceiling_efficiency']} — one machine shares one memory "
@@ -397,7 +429,7 @@ def write_bench_baseline(
             "cores in every controlled rep (3.39 vs 5.12). The round-1 "
             "inversion was single-box interference (co-tenant + GC timing "
             "variance, ±20% on this VM) landing on the unlucky side of a "
-            "2-rep sample — exactly the noise the interleaved best-of-reps "
+            "2-rep sample — exactly the noise the interleaved median-of-reps "
             "protocol filters, and which a real multi-node N→4N comparison "
             "(per-node memory bandwidth scales with nodes) does not suffer. "
             "The 8→32-core single-box pair is additionally capped by the "
