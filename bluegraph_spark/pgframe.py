@@ -415,14 +415,25 @@ class SparkPGFrame:
 
     # ---- aggregation (core/io.py:1091-1098; core/utils.py:43-56) -------
 
-    def aggregate_duplicate_nodes(self) -> "SparkPGFrame":
-        """Group duplicate ids; array props merged by sorted set-union, scalar
-        props by max (a deterministic stand-in for the reference's
-        singleton-unwrap-or-set merge, core/utils.py:43-56 — Spark columns
-        cannot change type per row, so schemas stay stable). The array-prop
-        union path matches the reference's set merge exactly
-        (tests/test_pgframe_io.py::test_aggregate_duplicate_nodes_array_union);
-        the scalar-by-max rule is the documented divergence (SURVEY §2.3)."""
+    def aggregate_duplicate_nodes(self, scalar_merge: str = "max") -> "SparkPGFrame":
+        """Group duplicate ids; array props merged by sorted set-union (the
+        reference's set merge, core/utils.py:43-56, matched exactly —
+        tests/test_pgframe_io.py::test_aggregate_duplicate_nodes_array_union).
+
+        Scalar props: the reference's merge is singleton-unwrap-or-set —
+        per-row value types, which a stable Spark schema cannot express.
+        Two deterministic stand-ins (SURVEY §2.3):
+
+        - ``scalar_merge="max"`` (default, backward compatible): keep the
+          max distinct value as a scalar — same column type, loses
+          multi-valued conflicts;
+        - ``scalar_merge="set"``: promote every scalar prop to a sorted
+          distinct array (nulls dropped) — the reference's set semantics
+          with the singleton-unwrap dropped, as SURVEY §2.3 prescribes;
+          conflicts are preserved, the column type widens to array.
+        """
+        if scalar_merge not in ("max", "set"):
+            raise ValueError("scalar_merge must be 'max' or 'set'")
         aggs = []
         for field in self._nodes.schema.fields:
             if field.name == "id":
@@ -432,6 +443,10 @@ class SparkPGFrame:
                     F.array_sort(F.array_distinct(F.flatten(F.collect_list(field.name)))).alias(
                         field.name
                     )
+                )
+            elif scalar_merge == "set":
+                aggs.append(
+                    F.array_sort(F.collect_set(field.name)).alias(field.name)
                 )
             else:
                 aggs.append(F.max(field.name).alias(field.name))

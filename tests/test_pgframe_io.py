@@ -167,6 +167,24 @@ def test_aggregate_duplicate_nodes_array_union(spark):
     assert got == {"a": (["X", "Y"], 2.0), "b": (["Z"], 3.0)}
 
 
+def test_aggregate_duplicate_nodes_scalar_set_mode(spark):
+    """scalar_merge='set' promotes scalar props to sorted distinct arrays —
+    the reference's set semantics minus singleton-unwrap (SURVEY §2.3):
+    conflicting values are preserved instead of collapsed to max."""
+    nodes = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 2.0), ("b", 3.0), ("c", None)],
+        "id string, score double",
+    )
+    edges = spark.createDataFrame([], "src string, dst string")
+    agg = SparkPGFrame(nodes, edges).aggregate_duplicate_nodes(scalar_merge="set")
+    got = {r["id"]: r["score"] for r in agg.nodes().collect()}
+    assert got == {"a": [1.0, 2.0], "b": [3.0], "c": []}
+    # promoted column is array-typed -> categorized as category metadata
+    assert agg.is_categorical_node_prop("score")
+    with pytest.raises(ValueError):
+        SparkPGFrame(nodes, edges).aggregate_duplicate_nodes(scalar_merge="median")
+
+
 def test_point_lookups_missing(small_pg):
     assert small_pg.get_node("zz") is None
     assert small_pg.get_edge("a", "c") is None
