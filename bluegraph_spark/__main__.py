@@ -20,6 +20,7 @@ pipeline --corpus ... --output ...``. Subcommands:
   lpa         edge table -> (id, label)       [checkpointed, resumable]
   triangles   edge table -> (id, triangles)
   dedup       documents table -> duplicate groups / verified near-dup pairs
+  ann         embeddings table -> cosine top-k (exact | lsh | ivf)
   pipeline    corpus -> edges -> pagerank + components + lpa + triangles
 
 Every subcommand reads/writes parquet by default; pass ``--fmt iceberg``
@@ -189,6 +190,37 @@ def cmd_dedup(args) -> dict:
     return {"method": args.method, "rows": out.count(), "output": args.output}
 
 
+def cmd_ann(args) -> dict:
+    """Cosine top-k over an embeddings table: exact brute-force baseline,
+    sign-LSH (candidate-starvation warning armed via corpus_size), or the
+    IVF index (sample-trained deterministic codebook)."""
+    from bluegraph_spark.operators import similarity as S
+
+    spark = _session(args)
+    corpus = _read(spark, args.corpus, args.fmt)
+    queries = _read(spark, args.queries, args.fmt) if args.queries else corpus
+    kw = dict(id_col=args.id_col, vec_col=args.vec_col)
+    if args.method == "exact":
+        out = S.cosine_topk(queries, corpus, args.k, **kw)
+    elif args.method == "lsh":
+        out = S.lsh_cosine_topk(
+            queries, corpus, args.k,
+            planes=args.planes, tables=args.tables, multiprobe=args.multiprobe,
+            corpus_size=corpus.count(), **kw,
+        )
+    elif args.method == "ivf":
+        cents = S.ivf_fit_centroids(
+            corpus, n_centroids=args.centroids, lloyd_iters=args.lloyd_iters, **kw
+        )
+        out = S.ivf_cosine_topk(
+            queries, corpus, args.k, centroids=cents, nprobe=args.nprobe, **kw
+        )
+    else:
+        raise ValueError(f"unknown ann method {args.method!r}")
+    _write(out, args)
+    return {"method": args.method, "rows": out.count(), "output": args.output}
+
+
 def cmd_pipeline(args) -> dict:
     """Corpus -> co-occurrence edges -> all four analytics, checkpointed."""
     from bluegraph_spark.operators.components import connected_components
@@ -308,6 +340,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunks", type=int, default=4)
     _add_common(p)
     p.set_defaults(fn=cmd_dedup)
+
+    p = sub.add_parser("ann")
+    p.add_argument("--corpus", required=True, help="embeddings table (id, vector)")
+    p.add_argument("--queries", default=None,
+                   help="query table; defaults to the corpus (self-ANN)")
+    p.add_argument("--method", default="ivf", choices=["exact", "lsh", "ivf"])
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("-k", "--k", type=int, default=10)
+    p.add_argument("--planes", type=int, default=12)
+    p.add_argument("--tables", type=int, default=3)
+    p.add_argument("--multiprobe", type=int, default=1)
+    p.add_argument("--centroids", type=int, default=64)
+    p.add_argument("--nprobe", type=int, default=8)
+    p.add_argument("--lloyd-iters", type=int, default=2)
+    _add_common(p)
+    p.set_defaults(fn=cmd_ann)
 
     p = sub.add_parser("pipeline")
     p.add_argument("--corpus", required=True)

@@ -48,6 +48,10 @@ class LPAResult:
     iterations: int
     converged: bool
     history: list[dict[str, Any]] = field(default_factory=list)
+    # physical plan of the first superstep (pre-materialization) + its
+    # executed shuffle-exchange count for the plan-guard test
+    superstep_plan: str | None = None
+    superstep_exchanges: int | None = None
 
 
 def label_propagation(
@@ -93,9 +97,15 @@ def label_propagation(
         vertices = e0.select(F.col("src").alias("id")).distinct()
     else:
         id_type = dict(edges.dtypes).get("src", "string")
-        vertices = nodes.select(
-            F.col(nodes.columns[0]).cast(id_type).alias("id")
-        ).distinct()
+        first = nodes.columns[0]
+        if dict(nodes.dtypes)[first] == id_type and first == "id":
+            # no-op alias/cast would be optimizer-stripped and strand the
+            # checkpoint-captured partitioning (see pagerank.py)
+            vertices = nodes.select("id").distinct()
+        else:
+            vertices = nodes.select(
+                F.col(first).cast(id_type).alias("id")
+            ).distinct()
     if partitions:
         n_parts = int(partitions)
     else:
@@ -103,35 +113,44 @@ def label_propagation(
         n_parts = max(1, min(conf_parts, (n_edges // 250_000) + 1))
     e = e0.repartition(n_parts, "src").sortWithinPartitions("src").persist()
 
+    # Materialize the CSR cache under AQE, then freeze the plan BEFORE the
+    # initial labels materialize: a localCheckpoint taken under AQE captures
+    # UnknownPartitioning (see pagerank.py — measured as avoidable state
+    # shuffles on superstep 1). Conf pins land on the loop's own session.
+    e.count()
+    e0.unpersist()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+
     start_iter = 0
     if resume and checkpointer is not None and checkpointer.latest() is not None:
         start_iter = checkpointer.latest()
         labels = checkpointer.load(spark, start_iter)
         if checkpointer.load_metrics(start_iter).get("converged"):
-            e0.unpersist()
             e.unpersist()
             return LPAResult(
                 rebind(labels.select("id", "label"), caller), start_iter, True,
                 checkpointer.metrics_log(),
             )
     else:
-        labels = vertices.withColumn("label", F.col("id")).repartition(
-            n_parts, "id"
-        )
+        base = vertices.repartition(n_parts, "id")
         if checkpointer is not None:
-            labels = checkpointer.save(0, labels)
+            labels = checkpointer.save(0, base.withColumn("label", F.col("id")))
         else:
-            labels = labels.localCheckpoint()
-
-    e.count()  # materialize the CSR cache under AQE before freezing the plan
-    e0.unpersist()
+            # Checkpoint the single-column vertex set and add label = id as
+            # a lazy projection ABOVE the scan: checkpointing (id, id AS
+            # label) lets the optimizer express the captured partitioning
+            # through the label alias instead of id, which strands both
+            # superstep joins on an unusable clustering (measured: +2
+            # exchanges on superstep 1).
+            labels = base.localCheckpoint().withColumn("label", F.col("id"))
 
     history: list[dict[str, Any]] = []
     converged = False
     it = start_iter
+    superstep_plan: str | None = None
+    superstep_exchanges: int | None = None
     try:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
         while it < max_iter:
             it += 1
             t0 = time.time()
@@ -159,6 +178,13 @@ def label_propagation(
                 F.sum(F.col("_changed").cast("long")).alias("changes"),
                 F.count(F.lit(1)).alias("rows"),
             )
+            if superstep_plan is None:
+                from bluegraph_spark.plans.planinfo import executed_exchange_count
+
+                superstep_plan = (
+                    new_labels._jdf.queryExecution().executedPlan().toString()
+                )
+                superstep_exchanges = executed_exchange_count(new_labels)
             if checkpointer is not None:
                 new_labels = checkpointer.save(it, new_labels, {"pending": True})
             else:
@@ -185,5 +211,6 @@ def label_propagation(
         e.unpersist()
 
     return LPAResult(
-        rebind(labels.select("id", "label"), caller), it, converged, history
+        rebind(labels.select("id", "label"), caller), it, converged, history,
+        superstep_plan, superstep_exchanges,
     )

@@ -48,6 +48,12 @@ class PageRankResult:
     converged: bool
     err: float
     history: list[dict[str, Any]] = field(default_factory=list)
+    # physical plan of the first superstep's state (pre-materialization)
+    # plus its executed shuffle-exchange count: the plan-guard test pins the
+    # loop's exchange budget (one shuffle per superstep is a load-bearing
+    # property of the design)
+    superstep_plan: str | None = None
+    superstep_exchanges: int | None = None
 
 
 def pagerank(
@@ -108,7 +114,16 @@ def pagerank(
     ).persist()
 
     if nodes is not None:
-        vertices = nodes.select(F.col(nodes.columns[0]).alias("id")).distinct()
+        # No same-name self-alias: the optimizer strips Alias(id AS id) and
+        # rewrites references to the child attribute, which strands the
+        # partitioning a later localCheckpoint captures on an attribute id
+        # absent from the logical output — measured as two avoidable O(V)
+        # state shuffles per superstep.
+        first = nodes.columns[0]
+        vertices = (
+            nodes.select("id") if first == "id"
+            else nodes.select(F.col(first).alias("id"))
+        ).distinct()
     elif not directed:
         # Symmetrized graph: every vertex appears as a src, so the (cached,
         # already-distinct) out-weight table IS the vertex set — no separate
@@ -158,6 +173,23 @@ def pagerank(
         empty = vertices.withColumn("rank", F.lit(0.0)).select("id", "rank")
         return PageRankResult(rebind(empty, caller), 0, True, 0.0)
 
+    # Materialize the edge cache under AQE, then freeze the plan BEFORE the
+    # initial state materializes: a localCheckpoint taken while AQE is on
+    # captures UnknownPartitioning (the adaptive plan only knows its final
+    # layout after execution), which silently costs two extra O(V) state
+    # shuffles on the first superstep (measured: 3 exchanges instead of 1).
+    # Inside the loop every superstep re-runs the same fixed-shape plan over
+    # explicitly partitioned inputs, and AQE's per-stage driver re-planning
+    # is pure serial overhead there (measured at seconds per superstep). The
+    # conf pins land on the loop's own session only (see ``loop_session``).
+    norm.count()
+    e.unpersist()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # Align every loop exchange (the message groupBy) with the norm
+    # partitioning so the superstep joins stay exchange-free at the chosen
+    # width.
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+
     history: list[dict[str, Any]] = []
     start_iter = 0
     state = None
@@ -199,23 +231,12 @@ def pagerank(
             state = state.localCheckpoint()
         danglesum = float(obs0.get["dsum"] or 0.0)
 
-    # Materialize the edge cache under AQE, then freeze the plan: inside the
-    # loop every superstep re-runs the same fixed-shape plan over explicitly
-    # partitioned inputs, and AQE's per-stage driver re-planning is pure
-    # serial overhead there (measured at seconds per superstep). The conf
-    # pins land on the loop's own session only (see ``loop_session``).
-    norm.count()
-    e.unpersist()
-
     converged = False
     err = float("inf")
     it = start_iter
+    superstep_plan: str | None = None
+    superstep_exchanges: int | None = None
     try:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        # Align every loop exchange (message groupBy, state-side shuffles)
-        # with the norm partitioning so the superstep joins stay
-        # exchange-free at the chosen width.
-        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
         while it < max_iter:
             it += 1
             _t0 = time.time()
@@ -256,6 +277,15 @@ def pagerank(
                 ),
                 F.count(F.lit(1)).alias("rows"),
             )
+            if superstep_plan is None:
+                # snapshot the static physical plan (AQE is off in-loop, so
+                # this is exactly what executes) for the plan-guard test
+                from bluegraph_spark.plans.planinfo import executed_exchange_count
+
+                superstep_plan = (
+                    new_state._jdf.queryExecution().executedPlan().toString()
+                )
+                superstep_exchanges = executed_exchange_count(new_state)
             if checkpointer is not None:
                 new_state = checkpointer.save(it, new_state, {"pending": True})
             else:
@@ -285,7 +315,8 @@ def pagerank(
         out.unpersist()
 
     return PageRankResult(
-        rebind(state.select("id", "rank"), caller), it, converged, err, history
+        rebind(state.select("id", "rank"), caller), it, converged, err, history,
+        superstep_plan, superstep_exchanges,
     )
 
 

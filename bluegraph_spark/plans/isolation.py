@@ -32,6 +32,7 @@ _counter = itertools.count()
 _INHERITED_CONFS = (
     "spark.sql.shuffle.partitions",
     "spark.sql.adaptive.enabled",
+    "spark.sql.autoBroadcastJoinThreshold",
 )
 
 
@@ -46,12 +47,29 @@ def loop_session(caller: SparkSession) -> SparkSession:
 def rebind(df: DataFrame, target: SparkSession) -> DataFrame:
     """Re-plan ``df`` onto ``target`` (a session of the same SparkContext).
 
-    Classic Spark analyzes a Dataset eagerly at construction, so the global
-    temp view only needs to exist for the ``target.table`` call; it is
+    Primary route: construct a Dataset over the SAME analyzed logical plan
+    (``Dataset.ofRows``) — the attribute ids are preserved exactly, which
+    matters downstream: a ``localCheckpoint`` captures its output
+    partitioning in terms of the physical attributes, and any re-aliasing
+    between plan and output (which a view introduces for every column)
+    can strand the captured partitioning on an attribute the optimizer
+    collapsed away — measured as two avoidable O(V) state shuffles per
+    PageRank superstep.
+
+    Fallback route (non-classic sessions / API drift): a transient GLOBAL
+    temp view. Classic Spark analyzes a Dataset eagerly at construction, so
+    the view only needs to exist for the ``target.table`` call; it is
     dropped again before returning and nothing lingers in the catalog.
     """
     if df.sparkSession._jsparkSession.equals(target._jsparkSession):
         return df
+    try:
+        jdf = target._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            target._jsparkSession, df._jdf.queryExecution().analyzed()
+        )
+        return DataFrame(jdf, target)
+    except Exception:
+        pass
     name = f"_bg_rebind_{next(_counter)}_{time.time_ns()}"
     df.createOrReplaceGlobalTempView(name)
     try:

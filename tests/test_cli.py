@@ -126,3 +126,34 @@ def test_triangles_command(spark, corpus_path, tmp_path, capsys):
     tri = spark.read.parquet(str(tmp_path / "tri"))
     assert set(tri.columns) == {"id", "triangles"}
     assert tri.count() > 0
+
+
+def test_ann_command(spark, tmp_path, capsys):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(4, 8))
+    rows = [
+        (i, (centers[i % 4] + 0.1 * rng.normal(size=8)).astype("float32").tolist())
+        for i in range(32)
+    ]
+    path = str(tmp_path / "emb")
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.parquet(path)
+
+    exact = _run(capsys, [
+        "ann", "--corpus", path, "--method", "exact", "-k", "3",
+        "--output", str(tmp_path / "exact"),
+    ])
+    assert exact["rows"] == 32 * 3
+    ivf = _run(capsys, [
+        "ann", "--corpus", path, "--method", "ivf", "-k", "3",
+        "--centroids", "4", "--nprobe", "2",
+        "--output", str(tmp_path / "ivf"),
+    ])
+    assert ivf["rows"] == 32 * 3
+    got = spark.read.parquet(str(tmp_path / "ivf"))
+    assert set(got.columns) == {"query_id", "neighbor_id", "cosine", "rank"}
+    # clustered fixture: IVF at nprobe 2/4 recovers most exact neighbors
+    e = {(r.query_id, r.neighbor_id) for r in spark.read.parquet(str(tmp_path / "exact")).collect()}
+    a = {(r.query_id, r.neighbor_id) for r in got.collect()}
+    assert len(e & a) / len(e) >= 0.8
