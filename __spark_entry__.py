@@ -479,6 +479,24 @@ def q_simhash_manku_docs(spark, sf_dir):
     )
 
 
+def q_dedup_embedding_docs(spark, sf_dir):
+    """Embedding-cosine near-dup dedup (semantic dedup): sign-LSH bucketed
+    candidate pairs verified with exact cosine ≥ threshold. Oracled via the
+    same literal-plane bucket SQL as the LSH ANN query (the threshold is
+    tuned to the synthetic embeddings' flat similarity spectrum so the
+    verified pair set is non-trivial at every sf)."""
+    from bluegraph_spark.operators.dedup import embedding_dedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_dedup_pairs(
+        emb, threshold=0.35, planes=8, tables=2, dim=64
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
 def q_lsh_cosine_docs(spark, sf_dir):
     """Approximate ANN (random-hyperplane LSH), fully oracled: the
     hyperplanes are deterministic literal doubles (similarity._plane_weights
@@ -625,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_docs": q_quality_docs,
         "simhash_docs": q_simhash_docs,
         "simhash_manku_docs": q_simhash_manku_docs,
+        "dedup_embedding_docs": q_dedup_embedding_docs,
         "lsh_cosine_docs": q_lsh_cosine_docs,
         "ivf_cosine_docs": q_ivf_cosine_docs,
         "media_features_docs": q_media_features_docs,
@@ -1029,6 +1048,48 @@ WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
 """
 
 
+def _sql_dot(vcol: str, ws: list[float]) -> str:
+    """Left-associated dot-with-literals — matches Spark's aggregate fold
+    order bit-for-bit."""
+    return "(" + " + ".join(
+        f"{vcol}[{i + 1}] * ({w!r})" for i, w in enumerate(ws)
+    ) + ")"
+
+
+def _sql_sumsq(vcol: str, dim: int) -> str:
+    return "(" + " + ".join(
+        f"{vcol}[{i + 1}] * {vcol}[{i + 1}]" for i in range(dim)
+    ) + ")"
+
+
+def _sql_bucket_cols(planes: int, tables: int, seed: int, dim: int) -> list[str]:
+    """Per-table sign-bucket string expressions over the SAME literal planes
+    the Spark plan embeds."""
+    from bluegraph_spark.operators.similarity import _plane_weights
+
+    cols = []
+    for t in range(tables):
+        ws = _plane_weights(dim, planes, seed + 1000 * t)
+        bits = " || ".join(
+            f"(CASE WHEN {_sql_dot('v', ws[p])} >= 0 THEN '1' ELSE '0' END)"
+            for p in range(planes)
+        )
+        cols.append(f"({bits}) AS bkt{t}")
+    return cols
+
+
+def _sql_probes(bcol: str, planes: int) -> str:
+    """The bucket itself + every Hamming-distance-1 flip (multiprobe=1)."""
+    items = [bcol]
+    for i in range(planes):
+        items.append(
+            f"substr({bcol}, 1, {i}) || "
+            f"(CASE WHEN substr({bcol}, {i + 1}, 1) = '1' THEN '0' ELSE '1' END)"
+            f" || substr({bcol}, {i + 2}, {planes - i - 1})"
+        )
+    return "[" + ", ".join(items) + "]"
+
+
 def _lsh_sql(
     k: int = 3,
     planes: int = 8,
@@ -1044,37 +1105,13 @@ def _lsh_sql(
     dot product / sum of squares is written as a left-associated sum —
     matching Spark's ``F.aggregate`` fold order — so bucket sign bits and
     the pre-round cosine ranking are bit-identical across engines."""
-    from bluegraph_spark.operators.similarity import _plane_weights
-
-    def dot(vcol: str, ws: list[float]) -> str:
-        return "(" + " + ".join(
-            f"{vcol}[{i + 1}] * ({w!r})" for i, w in enumerate(ws)
-        ) + ")"
+    bucket_cols = _sql_bucket_cols(planes, tables, seed, dim)
 
     def sumsq(vcol: str) -> str:
-        return "(" + " + ".join(
-            f"{vcol}[{i + 1}] * {vcol}[{i + 1}]" for i in range(dim)
-        ) + ")"
-
-    bucket_cols = []
-    for t in range(tables):
-        ws = _plane_weights(dim, planes, seed + 1000 * t)
-        bits = " || ".join(
-            f"(CASE WHEN {dot('v', ws[p])} >= 0 THEN '1' ELSE '0' END)"
-            for p in range(planes)
-        )
-        bucket_cols.append(f"({bits}) AS bkt{t}")
+        return _sql_sumsq(vcol, dim)
 
     def probes(bcol: str) -> str:
-        # the bucket itself + every Hamming-distance-1 flip (multiprobe=1)
-        items = [bcol]
-        for i in range(planes):
-            items.append(
-                f"substr({bcol}, 1, {i}) || "
-                f"(CASE WHEN substr({bcol}, {i + 1}, 1) = '1' THEN '0' ELSE '1' END)"
-                f" || substr({bcol}, {i + 2}, {planes - i - 1})"
-            )
-        return "[" + ", ".join(items) + "]"
+        return _sql_probes(bcol, planes)
 
     qprobe_union = "\n  UNION ALL\n".join(
         f"  SELECT vec_id, {t} AS tbl, unnest({probes(f'bkt{t}')}) AS bucket FROM qsig"
@@ -1129,6 +1166,67 @@ SELECT CAST(query_id AS BIGINT) AS query_id,
        ROUND(cosine, 6) AS cosine,
        CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {k}
+"""
+
+
+def _embedding_dedup_sql(
+    threshold: float = 0.35,
+    planes: int = 8,
+    tables: int = 2,
+    seed: int = 42,
+    dim: int = 64,
+) -> str:
+    """DuckDB replica of ``embedding_dedup_pairs``: same literal-plane
+    buckets and Hamming-1 probes as ``_lsh_sql``, candidates restricted to
+    id_a < id_b (the probe relation is symmetric, so one direction covers
+    the undirected pair set), exact cosine ≥ threshold on the unrounded
+    double, then rounding."""
+    bucket_cols = _sql_bucket_cols(planes, tables, seed, dim)
+    probe_union = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {t} AS tbl, unnest({_sql_probes(f'bkt{t}', planes)}) AS bucket FROM sig"
+        for t in range(tables)
+    )
+    csig_union = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {t} AS tbl, bkt{t} AS bucket FROM sig"
+        for t in range(tables)
+    )
+    dot_ab = "(" + " + ".join(
+        f"a.v[{i + 1}] * b.v[{i + 1}]" for i in range(dim)
+    ) + ")"
+    return f"""
+WITH prep AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+nz AS (
+  SELECT vec_id, v, {_sql_sumsq('v', dim)} AS sq FROM prep
+  WHERE {_sql_sumsq('v', dim)} > 0
+),
+sig AS (
+  SELECT vec_id, {", ".join(bucket_cols)} FROM nz
+),
+probes AS (
+{probe_union}
+),
+csig AS (
+{csig_union}
+),
+cand AS (
+  SELECT DISTINCT p.vec_id AS id_a, c.vec_id AS id_b
+  FROM probes p JOIN csig c ON p.tbl = c.tbl AND p.bucket = c.bucket
+  WHERE p.vec_id < c.vec_id
+),
+scored AS (
+  SELECT cand.id_a, cand.id_b,
+         {dot_ab} / (sqrt(a.sq) * sqrt(b.sq)) AS cosine
+  FROM cand
+  JOIN nz a ON a.vec_id = cand.id_a
+  JOIN nz b ON b.vec_id = cand.id_b
+)
+SELECT CAST(id_a AS BIGINT) AS id_a,
+       CAST(id_b AS BIGINT) AS id_b,
+       ROUND(cosine, 6) AS cosine
+FROM scored WHERE cosine >= {threshold}
 """
 
 
@@ -1548,6 +1646,7 @@ FROM toks GROUP BY 1
         "simhash_manku_docs": _simhash_sql(),
         "lsh_cosine_docs": _lsh_sql(),
         "ivf_cosine_docs": _ivf_sql(),
+        "dedup_embedding_docs": _embedding_dedup_sql(),
         "media_features_docs": _media_sql(),
         "frame_sample_docs": """
 SELECT doc_id AS media_id,

@@ -1,6 +1,6 @@
 """Deduplication operators for training-data pipelines.
 
-Four families, scale-ranked:
+Five families, scale-ranked:
 - exact: hash-groupBy on content digest — one shuffle, no joins;
 - fingerprint: same, on the sorted-distinct-token md5 (bag-of-words exact);
 - n-gram Jaccard: shingle explode + self-join — exact near-dup at small
@@ -11,7 +11,11 @@ Four families, scale-ranked:
   engine-portable (the DuckDB oracle computes the identical signature), and
   uniform enough for Jaccard estimation;
 - SimHash: 64-bit near-dup signature with banded candidate generation and
-  Hamming-distance verification.
+  Hamming-distance verification;
+- embedding-cosine near-dup: sign-LSH bucketed candidate pairs over an
+  embedding column, verified with exact cosine — the semantic-dedup
+  ("SemDeDup"-style) path for corpora where near-duplicates are
+  paraphrases rather than token overlaps.
 """
 
 from __future__ import annotations
@@ -233,6 +237,57 @@ def minhash_dedup_pairs(
     out = out.localCheckpoint()
     sh.unpersist()
     return out
+
+
+def embedding_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    planes: int = 12,
+    tables: int = 3,
+    seed: int = 42,
+    dim: int | None = None,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """(id_a, id_b, cosine): embedding-space near-duplicate pairs — sign-LSH
+    bucketed candidates (id_a < id_b) verified with exact cosine ≥
+    ``threshold``.
+
+    The scale shape is the MinHash pipeline's, transplanted to embedding
+    space: constant-size signatures (literal hyperplanes, pure projection),
+    bucket equi-join candidates, exact verification inside buckets — never
+    the O(n²) pair space. Candidate recall follows the sign-LSH collision
+    curve; for near-dup thresholds (cosine ≥ 0.9, θ ≤ 26°) per-table
+    collision is (1-θ/π)^planes ≈ 0.16 at 12 planes, recovered by tables ×
+    multiprobe — measure with :func:`bluegraph_spark.operators.similarity.
+    lsh_candidate_report` before a production run.
+    """
+    from bluegraph_spark.operators.similarity import (
+        _dot,
+        _norm,
+        _prep,
+        lsh_candidate_pairs,
+    )
+
+    cand = lsh_candidate_pairs(
+        df, df, id_col, vec_col, planes, tables, seed, dim, multiprobe
+    ).filter(F.col("query_id") < F.col("neighbor_id"))
+    a = _prep(df, id_col, vec_col, "a")
+    b = _prep(df, id_col, vec_col, "b")
+    return (
+        cand.join(a.withColumnRenamed("a_id", "query_id"), "query_id")
+        .join(b.withColumnRenamed("b_id", "neighbor_id"), "neighbor_id")
+        .select(
+            F.col("query_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            (
+                _dot(F.col("a_vec"), F.col("b_vec"))
+                / (_norm(F.col("a_vec")) * _norm(F.col("b_vec")))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
 
 
 def simhash_pairs(

@@ -209,6 +209,38 @@ def test_ivf_recall_floor(spark, vectors):
             assert c == pytest.approx(truth[pair], abs=1e-9)
 
 
+def test_embedding_dedup_pairs_exact_verify_and_recall(spark, vectors):
+    """Embedding-cosine near-dup: every returned pair is a true near-dup
+    with the exact cosine, and recall ≥ 0.8 on clustered vectors at a
+    bucket-friendly configuration."""
+    from bluegraph_spark.operators.dedup import embedding_dedup_pairs
+
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_dedup_pairs(
+            vectors, threshold=0.8, planes=6, tables=4, dim=16
+        ).collect()
+    }
+    arr = {i: np.array(v, dtype=np.float64) for i, v in rng_vectors(40)}
+
+    def cos(i, j):
+        return float(
+            arr[i] @ arr[j] / (np.linalg.norm(arr[i]) * np.linalg.norm(arr[j]))
+        )
+
+    truth = {
+        (i, j): cos(i, j)
+        for i in arr
+        for j in arr
+        if i < j and cos(i, j) >= 0.8
+    }
+    assert truth, "fixture must contain near-dup pairs"
+    for (i, j), c in got.items():
+        assert (i, j) in truth
+        assert c == pytest.approx(truth[(i, j)], abs=1e-9)
+    assert len(got) / len(truth) >= 0.8
+
+
 def test_multiprobe_distance_honored(spark):
     """multiprobe=d must probe every bucket within Hamming distance d, not
     just distance 1 (ADVICE r2: the knob silently bought nothing above 1)."""
