@@ -479,6 +479,28 @@ def q_simhash_manku_docs(spark, sf_dir):
     )
 
 
+def q_dedup_groups_docs(spark, sf_dir):
+    """Pair→group resolution: MinHash near-dup pairs fed through the
+    large-star/small-star connected-components operator; every document
+    gets a keep_id (= min doc id of its duplicate cluster; singletons keep
+    themselves). Oracle: the MinHash pair SQL plus a recursive-CTE
+    transitive closure with min aggregation."""
+    from bluegraph_spark.operators.dedup import (
+        duplicate_groups,
+        minhash_dedup_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(
+        d, "doc_id", "text", n=3, num_hashes=8, bands=4, threshold=0.2
+    )
+    groups = duplicate_groups(pairs, ids=d.select(F.col("doc_id").alias("id")))
+    return groups.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("keep_id").cast("long").alias("keep_id"),
+    )
+
+
 def q_dedup_embedding_docs(spark, sf_dir):
     """Embedding-cosine near-dup dedup (semantic dedup): sign-LSH bucketed
     candidate pairs verified with exact cosine ≥ threshold. Oracled via the
@@ -644,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": q_simhash_docs,
         "simhash_manku_docs": q_simhash_manku_docs,
         "dedup_embedding_docs": q_dedup_embedding_docs,
+        "dedup_groups_docs": q_dedup_groups_docs,
         "lsh_cosine_docs": q_lsh_cosine_docs,
         "ivf_cosine_docs": q_ivf_cosine_docs,
         "media_features_docs": q_media_features_docs,
@@ -1169,6 +1192,31 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _dedup_groups_sql() -> str:
+    """MinHash pairs (same knobs as minhash_docs) resolved into duplicate
+    groups with a recursive-CTE transitive closure: reach(id, r) holds every
+    id reachable from each doc over the symmetrized pair graph; the group
+    label is min(reachable id) — exactly the min-id component labels of the
+    engine's large-star/small-star CC."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_minhash_sql()}) t
+),
+e AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT doc_id AS id, doc_id AS r FROM documents
+  UNION
+  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b
+)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS keep_id
+FROM reach GROUP BY id
+"""
+
+
 def _embedding_dedup_sql(
     threshold: float = 0.35,
     planes: int = 8,
@@ -1647,6 +1695,7 @@ FROM toks GROUP BY 1
         "lsh_cosine_docs": _lsh_sql(),
         "ivf_cosine_docs": _ivf_sql(),
         "dedup_embedding_docs": _embedding_dedup_sql(),
+        "dedup_groups_docs": _dedup_groups_sql(),
         "media_features_docs": _media_sql(),
         "frame_sample_docs": """
 SELECT doc_id AS media_id,

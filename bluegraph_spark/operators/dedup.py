@@ -290,6 +290,36 @@ def embedding_dedup_pairs(
     )
 
 
+def duplicate_groups(
+    pairs: DataFrame,
+    ids: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """(id, keep_id): resolve near-dup PAIRS into duplicate GROUPS.
+
+    Near-duplication is not transitive pair-by-pair, but a dedup pipeline
+    must still pick one survivor per overlapping cluster — the standard
+    resolution is connected components over the pair graph (each group =
+    one component, survivor = min id). This is pure composition: any pair
+    generator in this module (exact / minhash / simhash / embedding) feeds
+    :func:`~bluegraph_spark.operators.components.connected_components`,
+    which is the engine's O(log n)-round large-star/small-star operator —
+    the same code path that carries the 30M-edge stress evidence, so group
+    resolution inherits its scale story instead of inventing a new one.
+
+    ``ids`` optionally supplies the full document id set so singletons
+    (docs in no pair) appear with ``keep_id = id``.
+    """
+    from bluegraph_spark.operators.components import connected_components
+
+    cc = connected_components(
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+        nodes=ids,
+    )
+    return cc.components.select("id", F.col("component").alias("keep_id"))
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,

@@ -209,6 +209,19 @@ def test_ivf_recall_floor(spark, vectors):
             assert c == pytest.approx(truth[pair], abs=1e-9)
 
 
+def test_duplicate_groups_composition(spark):
+    """Pair→group resolution via connected components: chains collapse to
+    one group labeled by the min id; singletons keep themselves."""
+    from bluegraph_spark.operators.dedup import duplicate_groups
+
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (2, 4)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(1, 7)], "id long")
+    got = {r.id: r.keep_id for r in duplicate_groups(pairs, ids=ids).collect()}
+    assert got == {1: 1, 3: 1, 5: 1, 2: 2, 4: 2, 6: 6}
+
+
 def test_embedding_dedup_pairs_exact_verify_and_recall(spark, vectors):
     """Embedding-cosine near-dup: every returned pair is a true near-dup
     with the exact cosine, and recall ≥ 0.8 on clustered vectors at a
