@@ -103,6 +103,47 @@ def _small_star(e: DataFrame) -> DataFrame:
     return redirect.unionByName(self_edge).distinct()
 
 
+def _cc_round(e: DataFrame, n_parts: int) -> tuple[DataFrame, list[DataFrame]]:
+    """One large-star + small-star round with an explicit exchange budget.
+
+    Semantically identical to ``_small_star(_large_star(e))`` (the
+    reference formulation, kept above for unit tests), but each star's
+    working set is repartitioned by its grouping key, sorted, and persisted
+    ONCE — the min-aggregation and the redirect join then both read the
+    clustered cache, so the round executes 3 shuffles (sym layout, ls
+    layout, final distinct) instead of the 10 the naive plan runs when the
+    unpersisted union is recomputed on both consumer branches. Skew safety
+    is unchanged: min is still a partial-aggregating groupBy, never a
+    whole-group window buffer. Returns (round_output, caches) — the caller
+    unpersists the caches after materializing the output.
+    """
+    sym = (
+        e.select("a", "b")
+        .unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .repartition(n_parts, "a")
+        .sortWithinPartitions("a")
+        .persist()
+    )
+    mins = sym.groupBy("a").agg(F.min("b").alias("_mv"))
+    mins = mins.select("a", F.least("_mv", F.col("a")).alias("_m"))
+    ls = (
+        sym.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("_m").alias("b"))
+        .repartition(n_parts, "a")
+        .sortWithinPartitions("a")
+        .persist()
+    )
+    mins2 = ls.groupBy("a").agg(F.min("b").alias("_m"))
+    redirect = (
+        ls.join(mins2, "a")
+        .filter(F.col("b") != F.col("_m"))
+        .select(F.col("b").alias("a"), F.col("_m").alias("b"))
+    )
+    out = redirect.unionByName(mins2.select("a", F.col("_m").alias("b"))).distinct()
+    return out, [sym, ls]
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
@@ -185,9 +226,10 @@ def connected_components(
         t0 = time.time()
         # Convergence signature rides the materialization job as observed
         # metrics — no second pass over the edges.
-        e_new, sig = _materialize_with_sig(
-            _small_star(_large_star(e)), rnd, checkpointer
-        )
+        e_round, caches = _cc_round(e, n_parts)
+        e_new, sig = _materialize_with_sig(e_round, rnd, checkpointer)
+        for c in caches:
+            c.unpersist()
         history.append(
             {
                 "round": rnd,
