@@ -218,6 +218,7 @@ def cooccurrence_edges(
     salt: int | None = None,
     salt_threshold: int = DEFAULT_SALT_THRESHOLD,
     limit: int | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """Build the co-occurrence edge table from a (node, factor) table.
 
@@ -230,6 +231,18 @@ def cooccurrence_edges(
     dropped (reference cord19kg/utils.py:661-662).
     ``limit``: keep at most n edges — like the reference's early-exit limit
     (generators.py:238-243) the *choice* of edges is not deterministic.
+
+    ``eager`` (default): the deduplicated occurrence table is persisted and
+    the edge table materialized (``localCheckpoint``) before returning, then
+    the occurrence cache is released. The occurrence table feeds up to four
+    plan branches (both self-join sides, the per-node marginals, the total-
+    factor count) and Spark executes each branch's scan independently —
+    measured as 4 full source scans for one NPMI build — so sharing one
+    materialized pass is the 100 TB shape (the edge table is this engine's
+    ingest product; the north-rule pipeline persists it to storage anyway).
+    ``eager=False`` returns the fully lazy plan (no persist, no action — the
+    total-factor count is folded in as a broadcast scalar either way) for
+    callers composing their own caching.
     """
     for s in statistics:
         if s not in STATISTICS:
@@ -247,11 +260,10 @@ def cooccurrence_edges(
             .drop("_fc")
         )
 
-    needs_mi = any(s != "frequency" for s in statistics)
-    if needs_mi and total_factor_instances is None:
-        # Reference default: |union of all factor sets| (generators.py:363-376).
-        total_factor_instances = occ.select("factor").distinct().count()
+    if eager:
+        occ = occ.persist()
 
+    needs_mi = any(s != "frequency" for s in statistics)
     pairs = _pair_instances(occ, salt, salt_threshold)
 
     aggs = [F.count("*").alias("frequency")]
@@ -267,7 +279,18 @@ def cooccurrence_edges(
             .join(node_freq.withColumnRenamed("node", "dst"), "dst")
             .withColumnRenamed("_nf", "_t_freq")
         )
-        total = F.lit(total_factor_instances)
+        if total_factor_instances is not None:
+            total = F.lit(total_factor_instances)
+        else:
+            # Reference default: |union of all factor sets|
+            # (generators.py:363-376) — folded into the plan as a broadcast
+            # 1-row scalar instead of a plan-build-time count() action, so
+            # building the edge table stays a single job.
+            totals = occ.agg(
+                F.countDistinct("factor").alias("_total_factors")
+            )
+            edges = edges.crossJoin(F.broadcast(totals))
+            total = F.col("_total_factors")
         for stat in statistics:
             if stat == "frequency":
                 continue
@@ -278,7 +301,7 @@ def cooccurrence_edges(
                     F.col("frequency"), F.col("_s_freq"), F.col("_t_freq"), total, mitype
                 ),
             )
-        edges = edges.drop("_s_freq", "_t_freq")
+        edges = edges.drop("_s_freq", "_t_freq", "_total_factors")
 
     out_cols = ["src", "dst"] + [s for s in statistics]
     if keep_common_factors:
@@ -291,6 +314,9 @@ def cooccurrence_edges(
         edges = edges.filter(F.col(prune_zero_mi) > 0)
     if limit is not None:
         edges = edges.limit(limit)
+    if eager:
+        edges = edges.localCheckpoint()
+        occ.unpersist()
     return edges
 
 
