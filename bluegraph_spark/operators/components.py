@@ -43,6 +43,10 @@ class ComponentsResult:
     rounds: int
     converged: bool
     history: list[dict[str, Any]] = field(default_factory=list)
+    # physical plan + executed shuffle count of the first round's output
+    # (pre-materialization), for the exchange-budget plan-guard test
+    round_plan: str | None = None
+    round_exchanges: int | None = None
 
 
 def _sig_cols() -> list:
@@ -221,12 +225,19 @@ def connected_components(
     # Both pins land on the loop's private session and die with it.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    round_plan: str | None = None
+    round_exchanges: int | None = None
     while rnd < max_rounds:
         rnd += 1
         t0 = time.time()
         # Convergence signature rides the materialization job as observed
         # metrics — no second pass over the edges.
         e_round, caches = _cc_round(e, n_parts)
+        if round_plan is None:
+            from bluegraph_spark.plans.planinfo import executed_exchange_count
+
+            round_plan = e_round._jdf.queryExecution().executedPlan().toString()
+            round_exchanges = executed_exchange_count(e_round)
         e_new, sig = _materialize_with_sig(e_round, rnd, checkpointer)
         for c in caches:
             c.unpersist()
@@ -268,4 +279,6 @@ def connected_components(
     # a node can appear in members only once at convergence; distinct guards
     # the non-converged (max_rounds hit) case
     comp = comp.groupBy("id").agg(F.min("component").alias("component"))
-    return ComponentsResult(rebind(comp, caller), rnd, converged, history)
+    return ComponentsResult(
+        rebind(comp, caller), rnd, converged, history, round_plan, round_exchanges
+    )

@@ -19,6 +19,12 @@ def executed_exchange_count(df: DataFrame) -> int:
         cls = node.getClass().getSimpleName()
         if cls.startswith("InMemoryTableScan"):
             return 0
+        if cls.startswith("AdaptiveSparkPlan"):
+            # leafless wrapper: descend into the current physical plan
+            # (the initial plan pre-execution, the final plan after)
+            return walk(node.executedPlan())
+        if cls.endswith("QueryStageExec"):
+            return walk(node.plan())
         n = 1 if cls.startswith("ShuffleExchange") else 0
         it = node.children().iterator()
         while it.hasNext():

@@ -47,6 +47,27 @@ def test_pagerank_superstep_is_single_exchange(graph, no_broadcast):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_cc_round_exchange_budget(spark, no_broadcast):
+    """Inside the loop (AQE frozen on the private session), a CC round's
+    output plan executes ZERO shuffles beyond the two cached working-set
+    layouts: every min-aggregation, redirect join, and the final distinct
+    reads the clustered caches, so the per-round shuffle total is the two
+    cache builds. (The naive unshared formulation executed 10 shuffles per
+    round — measured before the round was restructured.)"""
+    from bluegraph_spark.operators.components import connected_components
+
+    n = 500
+    e = spark.range(n).select(
+        F.col("id").alias("src"), ((F.col("id") * 13 + 7) % n).alias("dst")
+    )
+    res = connected_components(e, max_rounds=3)
+    # at most the final distinct shuffles (it elides entirely when the
+    # planner can prove the union's clustering)
+    assert res.round_exchanges <= 1, res.round_plan
+    # the round reads its working sets through the caches, not by recompute
+    assert res.round_plan.count("InMemoryTableScan") >= 2
+
+
 def test_lpa_superstep_exchange_budget(graph, no_broadcast):
     # superstep 1 runs on labels ≡ ids, which lets the planner elide the
     # scores exchange through the alias equivalence: budget is 1 there and
