@@ -132,6 +132,10 @@ def _pagerank_run(spark, graph_path: str) -> dict:
         "wall_sec": round(wall, 3),
         "superstep_sec": [round(s, 3) for s in steps],
         "median_superstep_sec": round(statistics.median(steps), 3),
+        # executed shuffle count of the superstep plan (1 = the message
+        # groupBy; the plan-guard tests pin this, the bench records it as
+        # evidence alongside the throughput)
+        "superstep_exchanges": res.superstep_exchanges,
     }
 
 

@@ -13,6 +13,14 @@ LPA) materializes its vertex state each superstep through this class:
 The reference has no analogue (NetworkX/graph-tool iterate in-process); this
 is engine-side driver code, not a Catalyst extension.
 
+Plan note: a storage checkpoint is re-READ from an unbucketed table, so the
+returned DataFrame carries no partitioning info and the next superstep's
+joins re-cluster the (small, O(V)) vertex state — a durability tax the
+``localCheckpoint`` path does not pay (its scans preserve the captured
+hash partitioning; see the plan-guard tests). On a cluster, bucketed
+checkpoint tables (Iceberg bucket partition transform + storage-partitioned
+joins) remove the tax; the sandbox has no catalog to exercise that.
+
 Storage layout (``format`` defaults to parquet; on a cluster with an Iceberg
 catalog pass ``table_format="iceberg"`` and a catalog path — the sandbox has
 no Iceberg runtime, so parquet directories stand in):
