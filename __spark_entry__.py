@@ -1282,7 +1282,7 @@ ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.
 
 
 def _ivf_oracle_codebook(
-    sf_dir: str = None,
+    sf_dir: str | None = None,
     n_centroids: int = 16,
     lloyd_iters: int = 2,
     sample_size: int = 65_536,

@@ -9,11 +9,15 @@ in MapReduce and Beyond" (SOCC'14): repeat
   small-star(u): over the resulting downhill edges (v ≤ u), m = min(Γ(u) ∪
                  {u}); emit (x, m) for x ∈ Γ(u) ∪ {u}, x ≠ m
 
-until the edge set is stable — O(log n) rounds, two shuffles per round, at
-which point the edges form star forests: every node points at its
-component's minimum id. Ids keep their native type; labels are the minimum
-id of each component under that type's ordering (numeric for integer ids,
-lexicographic for strings).
+until the edge set is stable — O(log n) rounds, at which point the edges
+form star forests: every node points at its component's minimum id. Each
+round executes two clustered-cache builds (the symmetrized working set and
+the large-star output, both repartitioned by their star key) plus at most
+the final distinct's shuffle; the min-aggregations and redirect joins all
+read the caches (see ``_cc_round`` and the plan-guard test — the unshared
+formulation executed 10 shuffles per round). Ids keep their native type;
+labels are the minimum id of each component under that type's ordering
+(numeric for integer ids, lexicographic for strings).
 
 Each round's edge set runs through ``SuperstepCheckpointer`` when supplied
 (lineage cut + resume, north rule); otherwise ``localCheckpoint`` cuts
