@@ -614,6 +614,99 @@ def q_subgraph_orders(spark, sf_dir):
     return pg.subgraph(nodes=keep).edges().select("src", "dst")
 
 
+LOUVAIN_ROUNDS = 4
+SSSP_ROUNDS = 8
+
+
+def q_louvain_suppliers(spark, sf_dir):
+    """Deterministic synchronous Louvain (the reference pipeline's default
+    community detector, cord19kg/utils.py:711-717) on the supplier
+    frequency graph — fixed 4 local-move rounds, single level, parity gate
+    on CAST(id AS BIGINT) % 2 so the whole round recurrence (modularity
+    gains, strict-improvement argmax, parity-gated moves) unrolls into
+    plain SQL for the oracle. Integer weights make every gain an exact
+    double, so the comparison is hash-exact, not approximate."""
+    from bluegraph_spark.operators.louvain import louvain
+
+    res = louvain(
+        _supplier_edges(spark, sf_dir),
+        weight_col="frequency",
+        exact_rounds=LOUVAIN_ROUNDS,
+        parity_fn=lambda c: F.pmod(c.cast("long"), F.lit(2)),
+    )
+    return res.labels.select("id", "community")
+
+
+def q_sssp_parts(spark, sf_dir):
+    """Single-source shortest paths (PathFinder.shortest_path semantics
+    computed as the full distance field) from part '1' over the parts
+    co-occurrence graph, weight = frequency: 8 relaxation rounds, which on
+    both engines is exactly the 8-round Bellman-Ford state (converged or
+    not — identical either way). Integer weights keep path sums exact."""
+    from bluegraph_spark.operators.paths import shortest_paths
+
+    res = shortest_paths(
+        _part_edges(spark, sf_dir),
+        source="1",
+        weight_col="frequency",
+        max_iter=SSSP_ROUNDS,
+    )
+    return res.distances.select("id", F.col("dist").cast("double").alias("dist"))
+
+
+def q_mst_suppliers(spark, sf_dir):
+    """Borůvka minimum spanning forest of the NPMI-distance supplier graph
+    — the reference pipeline's visualization-backbone reduction
+    (cord19kg/utils.py:724-727, nx.minimum_spanning_tree on a distance
+    weighting). Deterministic under the (weight, src, dst) edge total
+    order, so the forest is unique; the oracle is an independent Kruskal
+    (pure Python, same total order) over the same DuckDB-computed distance
+    edges, emitted as literal rows."""
+    from bluegraph_spark.functions.mi import npmi_distance_col
+    from bluegraph_spark.operators.mst import minimum_spanning_forest
+
+    e = _supplier_edges_npmi(spark, sf_dir)  # (src, dst, npmi>0 rounded 8)
+    dist = e.select(
+        "src", "dst", F.round(npmi_distance_col(F.col("npmi")), 8).alias("distance")
+    )
+    res = minimum_spanning_forest(dist, weight_col="distance")
+    return res.tree_edges.select(
+        "src", "dst", F.col("weight").alias("distance_npmi")
+    )
+
+
+INCR_SPLIT = 400  # documents with doc_id >= INCR_SPLIT are the "new batch"
+
+
+def q_dedup_incremental_docs(spark, sf_dir):
+    """Incremental MinHash dedup: documents with doc_id >= 400 arrive as a
+    new batch against a band-indexed corpus (doc_id < 400); pairs touching
+    the batch are generated from the index + batch signatures only, with
+    exact-Jaccard verification shingling just the colliding corpus docs.
+    Oracle: the full-corpus MinHash SQL restricted to pairs whose greater
+    id is in the batch — the incremental result must equal the
+    batch-involving subset of the one-shot run, which is the contract that
+    makes incremental processing trustworthy at all."""
+    from bluegraph_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_dedup_incremental,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < INCR_SPLIT)
+    batch = d.filter(F.col("doc_id") >= INCR_SPLIT)
+    index = minhash_band_index(corpus, "doc_id", "text", n=3, num_hashes=8, bands=4)
+    pairs = minhash_dedup_incremental(
+        batch, corpus, index, "doc_id", "text",
+        n=3, num_hashes=8, bands=4, threshold=0.2,
+    )
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("jaccard", 8).alias("jaccard"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: part co-occurrence graph at sf0.001 → weighted PageRank to
     convergence → scores joined with degree."""
@@ -672,6 +765,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features_docs": q_media_features_docs,
         "frame_sample_docs": q_frame_sample_docs,
         "subgraph_orders": q_subgraph_orders,
+        "louvain_suppliers": q_louvain_suppliers,
+        "sssp_parts": q_sssp_parts,
+        "mst_suppliers": q_mst_suppliers,
+        "dedup_incremental_docs": q_dedup_incremental_docs,
     }
 
 
@@ -1472,6 +1569,163 @@ FROM base
 """
 
 
+def _louvain_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
+    """Unrolled deterministic synchronous Louvain on the supplier frequency
+    graph — the exact recurrence of ``operators/louvain.py`` with
+    ``exact_rounds`` and the CAST(id AS BIGINT)%2 parity gate:
+
+    - kic includes a zero row for each vertex's own community (both engines
+      share this shape, so the stay-gain needs no COALESCE asymmetry);
+    - gain = kic - k * (tot - [own]*k) / tm, written with the same
+      association as the Spark column expression (all aggregates are sums
+      of integers → exact doubles → bit-identical comparisons);
+    - best = row_number() over (gain DESC, community ASC), mirroring the
+      engine's window exactly;
+    - move iff parity matches AND best_gain > stay_gain (strict)."""
+    pieces = [
+        f"WITH {_SUPP_OCC},",
+        """
+pairs AS (
+  SELECT a.node AS src, b.node AS dst, count(*) AS frequency
+  FROM occ a JOIN occ b ON a.factor = b.factor AND a.node < b.node
+  GROUP BY 1, 2
+),
+sym AS MATERIALIZED (
+  SELECT src, dst, CAST(frequency AS DOUBLE) AS w FROM pairs
+  UNION ALL
+  SELECT dst, src, CAST(frequency AS DOUBLE) FROM pairs
+),
+deg AS MATERIALIZED (SELECT src AS id, sum(w) AS k FROM sym GROUP BY 1),
+tm AS MATERIALIZED (SELECT sum(w) AS tm FROM sym),
+l0 AS MATERIALIZED (SELECT id, id AS c FROM deg)""",
+    ]
+    for r in range(1, rounds + 1):
+        par = (r - 1) % 2
+        pieces.append(
+            f""",
+kic{r} AS MATERIALIZED (
+  SELECT id, c, sum(w) AS kic FROM (
+    SELECT e.src AS id, l.c AS c, e.w AS w
+    FROM sym e JOIN l{r - 1} l ON l.id = e.dst
+    UNION ALL
+    SELECT id, c, CAST(0 AS DOUBLE) FROM l{r - 1}
+  ) GROUP BY 1, 2
+),
+tot{r} AS MATERIALIZED (
+  SELECT l.c AS c, sum(d.k) AS tot
+  FROM l{r - 1} l JOIN deg d ON d.id = l.id GROUP BY 1
+),
+cand{r} AS MATERIALIZED (
+  SELECT k.id, k.c, l.c AS c_own,
+         k.kic - d.k * (t.tot - CASE WHEN k.c = l.c THEN d.k ELSE CAST(0 AS DOUBLE) END) / tm.tm AS gain
+  FROM kic{r} k
+  JOIN deg d ON d.id = k.id
+  JOIN l{r - 1} l ON l.id = k.id
+  JOIN tot{r} t ON t.c = k.c
+  CROSS JOIN tm
+),
+best{r} AS MATERIALIZED (
+  SELECT id, c AS best_c, gain AS best_gain FROM (
+    SELECT id, c, gain,
+           row_number() OVER (PARTITION BY id ORDER BY gain DESC, c ASC) AS rn
+    FROM cand{r} WHERE c <> c_own
+  ) WHERE rn = 1
+),
+l{r} AS MATERIALIZED (
+  SELECT s.id,
+         CASE WHEN (CAST(s.id AS BIGINT) % 2) = {par} AND b.best_gain > s.gain
+              THEN b.best_c ELSE s.c END AS c
+  FROM (SELECT id, c_own AS c, gain FROM cand{r} WHERE c = c_own) s
+  LEFT JOIN best{r} b ON b.id = s.id
+)"""
+        )
+    pieces.append(f"\nSELECT id, c AS community FROM l{rounds}")
+    return "".join(pieces)
+
+
+def _sssp_sql(rounds: int = SSSP_ROUNDS) -> str:
+    """Unrolled Bellman-Ford from part '1' over the parts frequency graph;
+    identical per-round states to the engine's frontier relaxation (a
+    vertex not improved in round k-1 contributes nothing new in round k).
+    Frequency weights are integers, so path sums and mins are exact."""
+    pieces = [
+        f"WITH {_PART_OCC}, {_PART_PAIRS},",
+        """
+sym AS (
+  SELECT src, dst, CAST(frequency AS DOUBLE) AS w FROM pairs
+  UNION ALL
+  SELECT dst, src, CAST(frequency AS DOUBLE) FROM pairs
+),
+d0 AS (SELECT CAST('1' AS VARCHAR) AS id, CAST(0 AS DOUBLE) AS dist)""",
+    ]
+    for r in range(1, rounds + 1):
+        pieces.append(
+            f""",
+d{r} AS (
+  SELECT id, min(dist) AS dist FROM (
+    SELECT id, dist FROM d{r - 1}
+    UNION ALL
+    SELECT e.dst AS id, d.dist + e.w AS dist
+    FROM sym e JOIN d{r - 1} d ON d.id = e.src
+  ) GROUP BY id
+)"""
+        )
+    pieces.append(f"\nSELECT id, dist FROM d{rounds}")
+    return "".join(pieces)
+
+
+def _mst_oracle_sql(sf_dir: str | None = None) -> str:
+    """Independent Kruskal over the same NPMI-distance supplier edges,
+    emitted as literal rows (the IVF-codebook technique: data-dependent
+    oracle constants are computed at oracle_sql() time by reading the
+    oracle-sf parquet directly). The engine runs distributed Borůvka; both
+    use the (weight, src, dst) total order, under which the spanning
+    forest is unique — so edge-set equality is exact, not approximate."""
+    import duckdb
+
+    con = duckdb.connect()
+    d = sf_dir or ORACLE_SF_DIR
+    for t in ("lineitem", "supplier"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    rows = con.sql(
+        f"""WITH {_SUPP_NPMI_EDGES}
+SELECT src, dst, ROUND(1.0 / w, 8) AS dist FROM wedges"""
+    ).fetchall()
+    # Kruskal with union-find, edges sorted by the engine's total order
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    tree = []
+    for src, dst, w in sorted(rows, key=lambda t: (t[2], t[0], t[1])):
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            parent[ra] = rb
+            tree.append((src, dst, w))
+    values = ",\n".join(f"('{s}', '{t}', {w!r})" for s, t, w in tree)
+    return f"""
+SELECT CAST(src AS VARCHAR) AS src, CAST(dst AS VARCHAR) AS dst,
+       CAST(distance_npmi AS DOUBLE) AS distance_npmi
+FROM (VALUES
+{values}
+) AS t(src, dst, distance_npmi)
+"""
+
+
+def _minhash_incremental_sql() -> str:
+    """The incremental contract as SQL: the batch-involving subset of the
+    one-shot MinHash run (pairs are canonical id_a < id_b and batch ids
+    are all >= the split, so a batch-involving pair always has
+    id_b >= split)."""
+    return f"""
+SELECT * FROM ({_minhash_sql()}) t WHERE id_b >= {INCR_SPLIT}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "cooc_parts_freq": f"""
@@ -1718,6 +1972,10 @@ JOIN keep ks ON ks.id = c.src
 JOIN keep kd ON kd.id = c.dst
 WHERE c.src IS NOT NULL
 """,
+        "louvain_suppliers": _louvain_sql(),
+        "sssp_parts": _sssp_sql(),
+        "mst_suppliers": _mst_oracle_sql(),
+        "dedup_incremental_docs": _minhash_incremental_sql(),
         "user_top_events": """
 WITH agg AS (
   SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,

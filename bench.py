@@ -41,11 +41,16 @@ BENCH_DIR = os.path.join(REPO, ".bench")
 V = int(os.environ.get("BENCH_V", 2_000_000))
 E = int(os.environ.get("BENCH_E", 30_000_000))
 STEPS = int(os.environ.get("BENCH_STEPS", 5))
-# >= 4 interleaved reps: this VM shows +/-20% co-tenant/GC noise, and a
-# 2-rep sample lets one unlucky run move the headline efficiency across the
-# 0.8 target (it did in round 2). The headline is the MEDIAN of per-rep-pair
-# efficiencies with the min/max spread reported beside it.
-REPS = int(os.environ.get("BENCH_REPS", 4))
+# 6 interleaved rep pairs (round 4, was 4): this VM shows +/-20% co-tenant/GC
+# noise, and a small sample lets one unlucky run move the headline efficiency
+# across the 0.8 target (it did in rounds 2 AND 3). The headline is the
+# MEDIAN of the per-rep-pair efficiencies that pass the concurrent
+# CPU-contamination guard (see _ProbeMonitor), spread + discards reported.
+REPS = int(os.environ.get("BENCH_REPS", 6))
+# A rep pair is valid only if a spin-loop probe running CONCURRENTLY with it
+# kept >= this fraction of its solo-calibrated rate; below it, a co-tenant
+# was stealing cycles during the pair and its efficiency number is noise.
+PROBE_VALID_RATIO = float(os.environ.get("BENCH_PROBE_VALID_RATIO", 0.95))
 LOW = int(os.environ.get("BENCH_LOW_CPUS", 2))
 HIGH = int(os.environ.get("BENCH_HIGH_CPUS", 8))
 # Shuffle partitions are FIXED across parallelism levels: scaling a real
@@ -132,9 +137,11 @@ def _pagerank_run(spark, graph_path: str) -> dict:
         "wall_sec": round(wall, 3),
         "superstep_sec": [round(s, 3) for s in steps],
         "median_superstep_sec": round(statistics.median(steps), 3),
-        # executed shuffle count of the superstep plan (1 = the message
-        # groupBy; the plan-guard tests pin this, the bench records it as
-        # evidence alongside the throughput)
+        # STEADY-STATE executed shuffle count of the superstep plan (1 = the
+        # message groupBy; cache-build exchanges the first superstep also
+        # runs are excluded by design — see plans/planinfo.py). The
+        # plan-guard tests pin this; the bench records it as evidence
+        # alongside the throughput.
         "superstep_exchanges": res.superstep_exchanges,
     }
 
@@ -145,6 +152,78 @@ def _burn(_):
     while time.time() - t0 < 3:
         x += 1
     return x
+
+
+def _spin_chunk(n: int = 5_000_000) -> float:
+    """One fixed-size pure-Python spin; returns elapsed seconds."""
+    t0 = time.perf_counter()
+    x = 0
+    for _ in range(n):
+        x += 1
+    return time.perf_counter() - t0
+
+
+def _probe_worker(q):
+    """Emit spin-chunk durations until the parent sends poison via terminate."""
+    while True:
+        q.put(_spin_chunk())
+
+
+class _ProbeMonitor:
+    """Concurrent CPU-contamination guard for a scaling rep pair.
+
+    One spin-loop process runs for the whole duration of a rep pair,
+    recording fixed-work chunk durations. On a 32-core box the pair's Spark
+    work occupies at most 8 slots, so the probe owns an idle core; if its
+    median chunk rate drops below ``PROBE_VALID_RATIO`` x the solo-calibrated
+    rate, something *outside this benchmark* was eating the box during the
+    pair and the pair's efficiency number is flagged contaminated and
+    excluded from the headline median. (Round-3 driver run: per-pair
+    efficiencies [0.736, 0.622, 0.839, 0.8] — the 0.622 pair dragged the
+    median below target; a once-globally-measured ceiling cannot catch a
+    co-tenant that lands on specific reps.)
+    """
+
+    def __init__(self, solo_sec: float):
+        self.solo_sec = solo_sec
+        self._proc = None
+        self._q = None
+
+    @staticmethod
+    def calibrate() -> float:
+        """Median solo chunk duration, measured before any JVM exists."""
+        import statistics
+
+        _spin_chunk(1_000_000)  # warm the interpreter
+        return statistics.median(_spin_chunk() for _ in range(5))
+
+    def start(self) -> None:
+        import multiprocessing as mp
+
+        self._q = mp.Queue()
+        self._proc = mp.Process(target=_probe_worker, args=(self._q,), daemon=True)
+        self._proc.start()
+
+    def stop(self) -> dict:
+        import statistics
+
+        self._proc.terminate()
+        self._proc.join(timeout=5)
+        samples = []
+        try:
+            while not self._q.empty():
+                samples.append(self._q.get_nowait())
+        except Exception:
+            pass
+        if not samples:
+            return {"probe_ratio": None, "valid": True, "n_samples": 0}
+        med = statistics.median(samples)
+        ratio = round(self.solo_sec / med, 3)  # rate ratio (<1 = slowed down)
+        return {
+            "probe_ratio": ratio,
+            "valid": ratio >= PROBE_VALID_RATIO,
+            "n_samples": len(samples),
+        }
 
 
 def _cpu_ceiling(low: int, high: int) -> float:
@@ -167,8 +246,10 @@ def _cpu_ceiling(low: int, high: int) -> float:
 
 
 def scaling_bench() -> dict:
-    # Hardware ceiling first, before any JVM exists to steal cycles.
+    # Hardware ceiling + probe calibration first, before any JVM exists to
+    # steal cycles.
     ceiling = _cpu_ceiling(LOW, HIGH)
+    solo_sec = _ProbeMonitor.calibrate()
 
     spark = _session(f"local[{HIGH}]", shuffle_partitions=PARTS)
     graph_path = _ensure_scaling_graph(spark)
@@ -176,16 +257,22 @@ def scaling_bench() -> dict:
     # Interleave the levels (low, high, low, high, ...) so slow drift in the
     # box (page cache, frequency scaling, co-tenants) hits both levels
     # equally. Each rep pair yields its own efficiency number (adjacent runs
-    # see the same box conditions); the headline is the median of those with
-    # the min/max spread shown beside it — robust to a single noisy rep in a
-    # way best-of/2-rep protocols are not.
+    # see the same box conditions) AND its own concurrent contamination
+    # probe; the headline is the median of the VALID pairs' efficiencies,
+    # with spread and discard count reported beside it.
     import statistics
 
     reps: dict[int, list[dict]] = {LOW: [], HIGH: []}
+    probes: list[dict] = []
     for _ in range(REPS):
-        for cpus in (LOW, HIGH):
-            spark = _session(f"local[{cpus}]", shuffle_partitions=PARTS)
-            reps[cpus].append(_pagerank_run(spark, graph_path))
+        mon = _ProbeMonitor(solo_sec)
+        mon.start()
+        try:
+            for cpus in (LOW, HIGH):
+                spark = _session(f"local[{cpus}]", shuffle_partitions=PARTS)
+                reps[cpus].append(_pagerank_run(spark, graph_path))
+        finally:
+            probes.append(mon.stop())
     runs = {}
     for cpus, rr in reps.items():
         meds = [r["median_superstep_sec"] for r in rr]
@@ -207,6 +294,11 @@ def scaling_bench() -> dict:
         )
         for i in range(REPS)
     ]
+    valid_effs = [e for e, p in zip(pair_effs, probes) if p["valid"]]
+    n_discarded = len(pair_effs) - len(valid_effs)
+    if not valid_effs:
+        # every pair contaminated: fall back to all pairs, flagged
+        valid_effs = pair_effs
     # peak-throughput datapoint on all cores (not part of the N→4N pair)
     all_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
     peak = None
@@ -217,14 +309,18 @@ def scaling_bench() -> dict:
             peak["edges"] / peak["median_superstep_sec"], 1
         )
 
-    eff = statistics.median(pair_effs)
+    eff = statistics.median(valid_effs)
     out = {
         "graph": {"vertices": V, "edges": runs[HIGH]["edges"], "supersteps": STEPS},
         "low": runs[LOW],
         "high": runs[HIGH],
         "per_rep_efficiencies": pair_effs,
+        "probes": probes,
+        "probe_valid_ratio": PROBE_VALID_RATIO,
+        "discarded_pairs": n_discarded,
+        "all_pairs_contaminated": n_discarded == len(pair_effs),
         "scaling_efficiency": round(eff, 3),
-        "efficiency_spread": [min(pair_effs), max(pair_effs)],
+        "efficiency_spread": [min(valid_effs), max(valid_effs)],
         "cpu_ceiling_efficiency": ceiling,
         "normalized_efficiency": round(eff / ceiling, 3),
     }
@@ -394,15 +490,32 @@ def write_bench_baseline(
             for r in rows
         ]
         eff_spread = scaling.get("efficiency_spread")
+        probe_bits = ""
+        if "probes" in scaling:
+            ratios = [p.get("probe_ratio") for p in scaling["probes"]]
+            probe_bits = (
+                f" Per-pair concurrent CPU-contamination probe (spin-loop process "
+                f"alongside each rep pair; valid = probe kept ≥ "
+                f"{scaling.get('probe_valid_ratio')} of its solo rate): ratios "
+                f"{ratios}, **{scaling.get('discarded_pairs', 0)} pair(s) "
+                "discarded as contaminated**"
+                + (
+                    " — ALL pairs contaminated, median falls back to all pairs"
+                    if scaling.get("all_pairs_contaminated")
+                    else ""
+                )
+                + "."
+            )
         lines += [
             "",
             f"**Scaling efficiency ({scaling['low']['cpus']}→{scaling['high']['cpus']} "
             f"cores): {scaling['scaling_efficiency']}** (target ≥ 0.8; median of "
-            f"per-rep-pair efficiencies {scaling.get('per_rep_efficiencies')}"
+            f"VALID per-rep-pair efficiencies; all pairs "
+            f"{scaling.get('per_rep_efficiencies')}"
             + (
-                f", spread {eff_spread[0]}-{eff_spread[1]}" if eff_spread else ""
+                f", valid spread {eff_spread[0]}-{eff_spread[1]}" if eff_spread else ""
             )
-            + "). "
+            + f").{probe_bits} "
             f"Pure-CPU ceiling of this single box over the same core pair "
             f"(spin-loop processes, no shared state): "
             f"{scaling['cpu_ceiling_efficiency']} — one machine shares one memory "
@@ -511,7 +624,11 @@ def main() -> None:
         convergence if convergence and "error" not in convergence else None,
     )
 
-    out = {
+    # Full detail goes to BENCH/details.json; stdout gets ONE COMPACT line.
+    # The driver records only the last ~2000 chars of output and parses the
+    # JSON out of that tail — rounds 1-3 all landed "parsed": null because
+    # the detailed line blew past the buffer.
+    detail = {
         "metric": "total_query_wall_sec",
         "value": total,
         "unit": "sec",
@@ -521,8 +638,49 @@ def main() -> None:
         "pagerank_convergence": convergence,
     }
     if scaling:
-        out["pagerank_scaling"] = scaling
-    print(json.dumps(out))
+        detail["pagerank_scaling"] = scaling
+    with open(os.path.join(REPO, "BENCH", "details.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+
+    out = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if scaling:
+        out["pagerank_scaling"] = {
+            "edges": scaling["graph"]["edges"],
+            "low_cpus": LOW,
+            "high_cpus": HIGH,
+            "low_eps": scaling["low"]["edges_per_sec_per_superstep"],
+            "high_eps": scaling["high"]["edges_per_sec_per_superstep"],
+            "peak_eps": scaling.get("peak", {}).get(
+                "edges_per_sec_per_superstep"
+            ),
+            "per_rep_efficiencies": scaling["per_rep_efficiencies"],
+            "discarded_pairs": scaling["discarded_pairs"],
+            "scaling_efficiency": scaling["scaling_efficiency"],
+            "normalized_efficiency": scaling["normalized_efficiency"],
+            "cpu_ceiling": scaling["cpu_ceiling_efficiency"],
+            "superstep_exchanges_steady_state": scaling["high"]["reps"][0][
+                "superstep_exchanges"
+            ],
+        }
+    if convergence and "error" not in convergence:
+        out["pagerank_convergence"] = {
+            "iterations": convergence["iterations"],
+            "converged": convergence["converged"],
+        }
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:
+        # stay inside the driver's tail buffer no matter how many queries
+        # the suite grows: drop per-query timings last (they remain in
+        # BENCH/details.json and BENCH/BASELINE.md)
+        out["queries"] = {"see": "BENCH/details.json"}
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from bluegraph_spark.plans.checkpoint import SuperstepCheckpointer
 from bluegraph_spark.plans.isolation import loop_session, rebind
+from bluegraph_spark.plans.stats_guard import stats_safe_local_checkpoint
 
 
 @dataclass
@@ -78,7 +79,7 @@ def _materialize_with_sig(
     if checkpointer is not None:
         e = checkpointer.save(rnd, e)
     else:
-        e = e.localCheckpoint()
+        e = stats_safe_local_checkpoint(e)
     m = obs.get
     return e, (int(m["cnt"] or 0), int(m["h"] or 0))
 
@@ -237,14 +238,20 @@ def connected_components(
         # Convergence signature rides the materialization job as observed
         # metrics — no second pass over the edges.
         e_round, caches = _cc_round(e, n_parts)
-        if round_plan is None:
-            from bluegraph_spark.plans.planinfo import executed_exchange_count
+        # try/finally: a job failure or checkpointer.save error mid-round
+        # must not leave the round's persisted working sets in the
+        # SparkContext-shared cache manager forever (the caller's other work
+        # would see the leaked executor memory).
+        try:
+            if round_plan is None:
+                from bluegraph_spark.plans.planinfo import executed_exchange_count
 
-            round_plan = e_round._jdf.queryExecution().executedPlan().toString()
-            round_exchanges = executed_exchange_count(e_round)
-        e_new, sig = _materialize_with_sig(e_round, rnd, checkpointer)
-        for c in caches:
-            c.unpersist()
+                round_plan = e_round._jdf.queryExecution().executedPlan().toString()
+                round_exchanges = executed_exchange_count(e_round)
+            e_new, sig = _materialize_with_sig(e_round, rnd, checkpointer)
+        finally:
+            for c in caches:
+                c.unpersist()
         history.append(
             {
                 "round": rnd,

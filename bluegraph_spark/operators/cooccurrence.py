@@ -218,7 +218,8 @@ def cooccurrence_edges(
     salt: int | None = None,
     salt_threshold: int = DEFAULT_SALT_THRESHOLD,
     limit: int | None = None,
-    eager: bool = True,
+    eager: bool | str = "auto",
+    eager_threshold_bytes: int = 128 << 20,
 ) -> DataFrame:
     """Build the co-occurrence edge table from a (node, factor) table.
 
@@ -232,7 +233,7 @@ def cooccurrence_edges(
     ``limit``: keep at most n edges — like the reference's early-exit limit
     (generators.py:238-243) the *choice* of edges is not deterministic.
 
-    ``eager`` (default): the deduplicated occurrence table is persisted and
+    ``eager=True``: the deduplicated occurrence table is persisted and
     the edge table materialized (``localCheckpoint``) before returning, then
     the occurrence cache is released. The occurrence table feeds up to four
     plan branches (both self-join sides, the per-node marginals, the total-
@@ -243,6 +244,16 @@ def cooccurrence_edges(
     ``eager=False`` returns the fully lazy plan (no persist, no action — the
     total-factor count is folded in as a broadcast scalar either way) for
     callers composing their own caching.
+
+    ``eager="auto"`` (default) decides from Catalyst's plan-statistics size
+    estimate of the occurrence table — free, no job: below
+    ``eager_threshold_bytes`` (128 MB) the lazy plan wins, because re-scanning
+    a small source 4× costs less than the persist + localCheckpoint round
+    trip (measured at sf0.1: the unconditional eager path made the NPMI
+    build 1.4–2.4× slower); above it the shared materialized pass wins (the
+    30 M-edge stress case, and any real corpus). Statistics are the right
+    signal here precisely because the decision only matters when the input
+    is orders of magnitude away from the threshold in either direction.
     """
     for s in statistics:
         if s not in STATISTICS:
@@ -260,6 +271,13 @@ def cooccurrence_edges(
             .drop("_fc")
         )
 
+    if eager == "auto":
+        try:
+            sz = occ._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            est = sz if isinstance(sz, int) else int(sz.toString())
+        except Exception:
+            est = eager_threshold_bytes + 1  # unknown size: assume big
+        eager = est > eager_threshold_bytes
     if eager:
         occ = occ.persist()
 

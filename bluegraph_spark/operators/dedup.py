@@ -135,6 +135,27 @@ def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
     )
 
 
+def _band_rows(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, key) from an (id, sig) signature table."""
+    r = num_hashes // bands
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws("|", *[F.col("sig")[b * r + j] for j in range(r)])
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -159,25 +180,9 @@ def minhash_lsh_candidates(
     """
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
-    r = num_hashes // bands
     sh = shingles if shingles is not None else shingle_table(df, id_col, text_col, n)
     sig = _signatures_from_shingles(sh, num_hashes)
-    band_rows = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws("|", *[F.col("sig")[b * r + j] for j in range(r)])
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    band_rows = _band_rows(sig, num_hashes, bands)
     a, b = band_rows.alias("a"), band_rows.alias("b")
     return (
         a.join(
@@ -412,3 +417,127 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Persistable MinHash LSH band index of a corpus: ``(id, band, key)``.
+
+    The 100 TB dedup reality is incremental — new batches arrive against an
+    already-deduplicated corpus, and re-shingling + re-hashing the corpus
+    per batch is O(corpus) wasted work per batch. This index is the part
+    worth persisting: ``bands × 1`` constant-size rows per document (a few
+    dozen bytes each, ~1000x smaller than the text). Contract for the
+    index table: write it partitioned/bucketed by ``(band, key)`` so the
+    per-batch candidate join is storage-partitioned; the index for a new
+    batch is exactly ``minhash_band_index(batch)`` — append it after the
+    batch is processed. Knobs (n, num_hashes, bands) MUST match between
+    index build and incremental queries (the band keys are hashes of
+    signature slices).
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    return _band_rows(_signatures_from_shingles(sh, num_hashes), num_hashes, bands)
+
+
+def minhash_dedup_incremental(
+    batch: DataFrame,
+    corpus: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING the new batch, against an indexed corpus.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b for every verified pair
+    where at least one side is a batch document — batch-vs-corpus and
+    batch-vs-batch; corpus-vs-corpus pairs are assumed already resolved
+    when the index was built. The result is exactly the batch-involving
+    subset of a full ``minhash_dedup_pairs`` run over corpus ∪ batch (the
+    differential oracle asserts precisely this invariant), at incremental
+    cost:
+
+    - the corpus is NEVER re-shingled for candidate generation — the band
+      index replaces it (O(batch) signature work per batch);
+    - exact-Jaccard verification re-shingles only the corpus documents
+      that actually collide with a batch band (a semi-join pushes the
+      candidate id set into the corpus scan), not the corpus.
+
+    ``corpus`` must carry the text of (at least) the candidate documents;
+    ``index`` is a prior :func:`minhash_band_index` output with the same
+    knobs.
+    """
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    batch_sh = shingle_table(batch, id_col, text_col, n).persist()
+    batch_bands = _band_rows(
+        _signatures_from_shingles(batch_sh, num_hashes), num_hashes, bands
+    ).persist()
+
+    other = index.select("id", "band", "key").unionByName(batch_bands)
+    a, b = other.alias("a"), batch_bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    cands = cands.localCheckpoint()
+
+    # shingles for verification: batch side is already materialized; the
+    # corpus side is shingled ONLY for candidate-matched ids (left-semi
+    # prunes the scan before any shingling work happens)
+    cand_ids = (
+        cands.select(F.col("id_a").alias("id"))
+        .unionByName(cands.select(F.col("id_b").alias("id")))
+        .distinct()
+        .join(batch_sh.select("id").distinct(), "id", "left_anti")
+    )
+    corpus_cand = corpus.join(
+        cand_ids.withColumnRenamed("id", id_col), id_col, "left_semi"
+    )
+    ver_sh = batch_sh.unionByName(
+        shingle_table(corpus_cand, id_col, text_col, n)
+    ).persist()
+
+    sizes = ver_sh.groupBy("id").agg(F.count("*").alias("sz"))
+    sha = ver_sh.select(F.col("id").alias("id_a"), "shingle")
+    shb = ver_sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        cands.join(sha, "id_a")
+        .join(shb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    out = out.localCheckpoint()
+    ver_sh.unpersist()
+    batch_bands.unpersist()
+    batch_sh.unpersist()
+    return out

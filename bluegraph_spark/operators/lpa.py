@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from bluegraph_spark.pgframe import symmetrize_edges
 from bluegraph_spark.plans.checkpoint import SuperstepCheckpointer
 from bluegraph_spark.plans.isolation import loop_session, rebind
+from bluegraph_spark.plans.stats_guard import stats_safe_local_checkpoint
 
 
 @dataclass
@@ -87,6 +88,19 @@ def label_propagation(
     )
 
     conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # Resume of a run already marked converged returns BEFORE building (and
+    # fully materializing) the CSR edge cache — the loop below would never
+    # run, so paying a complete pass over the edges on this path is waste.
+    if resume and checkpointer is not None and checkpointer.latest() is not None:
+        last = checkpointer.latest()
+        if checkpointer.load_metrics(last).get("converged"):
+            labels = checkpointer.load(spark, last)
+            return LPAResult(
+                rebind(labels.select("id", "label"), caller), last, True,
+                checkpointer.metrics_log(),
+            )
+
     # One pass over the (possibly expensive) source: cache the symmetrized
     # raw edges, size the loop partitioning off the cached count, build the
     # CSR-blocked cache from it, then drop the raw cache.
@@ -124,14 +138,9 @@ def label_propagation(
 
     start_iter = 0
     if resume and checkpointer is not None and checkpointer.latest() is not None:
+        # non-converged resume (the converged case returned above)
         start_iter = checkpointer.latest()
         labels = checkpointer.load(spark, start_iter)
-        if checkpointer.load_metrics(start_iter).get("converged"):
-            e.unpersist()
-            return LPAResult(
-                rebind(labels.select("id", "label"), caller), start_iter, True,
-                checkpointer.metrics_log(),
-            )
     else:
         base = vertices.repartition(n_parts, "id")
         if checkpointer is not None:
@@ -143,7 +152,7 @@ def label_propagation(
             # through the label alias instead of id, which strands both
             # superstep joins on an unusable clustering (measured: +2
             # exchanges on superstep 1).
-            labels = base.localCheckpoint().withColumn("label", F.col("id"))
+            labels = stats_safe_local_checkpoint(base).withColumn("label", F.col("id"))
 
     history: list[dict[str, Any]] = []
     converged = False
@@ -188,7 +197,7 @@ def label_propagation(
             if checkpointer is not None:
                 new_labels = checkpointer.save(it, new_labels, {"pending": True})
             else:
-                new_labels = new_labels.localCheckpoint()
+                new_labels = stats_safe_local_checkpoint(new_labels)
             m = obs.get
             changes = int(m["changes"] or 0)
             rec = {

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from bluegraph_spark.pgframe import symmetrize_edges
 from bluegraph_spark.plans.checkpoint import SuperstepCheckpointer
 from bluegraph_spark.plans.isolation import loop_session, rebind
+from bluegraph_spark.plans.stats_guard import stats_safe_local_checkpoint
 
 
 @dataclass
@@ -228,7 +229,7 @@ def pagerank(
         if checkpointer is not None:
             state = checkpointer.save(0, state, {"danglesum": None, "err": None})
         else:
-            state = state.localCheckpoint()
+            state = stats_safe_local_checkpoint(state)
         danglesum = float(obs0.get["dsum"] or 0.0)
 
     converged = False
@@ -289,7 +290,7 @@ def pagerank(
             if checkpointer is not None:
                 new_state = checkpointer.save(it, new_state, {"pending": True})
             else:
-                new_state = new_state.localCheckpoint()
+                new_state = stats_safe_local_checkpoint(new_state)
 
             m = obs.get
             err = float(m["err"] or 0.0)

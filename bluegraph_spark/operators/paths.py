@@ -1,4 +1,4 @@
-"""Neighborhood queries: top-n neighbors by edge weight.
+"""Path queries: top-n neighbors, single-source shortest paths.
 
 Reference: ``PathFinder.top_neighbors``
 (/root/reference/bluegraph/core/analyse/paths.py:150-159) — rank a vertex's
@@ -6,14 +6,33 @@ neighbors by edge weight, keep n. Spark generalization: computed for every
 vertex at once with a window (partitionBy vertex, orderBy weight desc),
 which is the form a 100 TB run needs anyway; the single-vertex lookup is a
 filter on top.
+
+``shortest_paths`` is the distributed core of the reference's PathFinder
+surface (``shortest_path`` / ``n_shortest_paths``, /root/reference/
+bluegraph/core/analyse/paths.py:181-196, 96-144; nx impl
+backends/networkx/analyse/paths.py:21-98): single-source weighted
+distances via iterated frontier relaxation (distributed Bellman-Ford, the
+Pregel SSSP formulation). The reference computes one (source, target)
+path at a time in-process; the Spark shape computes the whole single-source
+distance field — the target lookup is a filter, and per-round frontier
+relaxation is provably equal to a full Bellman-Ford round (a vertex not
+improved in round k-1 relaxes nothing new in round k), which is what the
+DuckDB differential oracle unrolls.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from bluegraph_spark.pgframe import symmetrize_edges
+from bluegraph_spark.plans.checkpoint import SuperstepCheckpointer
+from bluegraph_spark.plans.isolation import loop_session, rebind
+from bluegraph_spark.plans.stats_guard import stats_safe_local_checkpoint
 
 
 def top_neighbors(
@@ -40,3 +59,128 @@ def top_neighbors(
         .filter(F.col("rank") <= n)
         .select(F.col("src").alias("id"), F.col("dst").alias("neighbor"), "weight", "rank")
     )
+
+
+@dataclass
+class SSSPResult:
+    distances: DataFrame  # (id, dist) — reached vertices only
+    iterations: int
+    converged: bool
+    history: list[dict[str, Any]] = field(default_factory=list)
+
+
+def shortest_paths(
+    edges: DataFrame,
+    source,
+    weight_col: str | None = None,
+    directed: bool = False,
+    max_iter: int = 50,
+    checkpointer: SuperstepCheckpointer | None = None,
+    partitions: int | None = None,
+) -> SSSPResult:
+    """Single-source shortest-path distances over ``(src, dst[, w])``.
+
+    Returns (id, dist) for every vertex reachable from ``source`` within
+    ``max_iter`` relaxation rounds (dist = minimum path weight sum; weights
+    must be non-negative for the result to be shortest-path distances —
+    with hop semantics pass ``weight_col=None`` for w=1). Running with a
+    fixed ``max_iter`` yields exactly the ``max_iter``-round Bellman-Ford
+    state on both engines whether or not the field has converged — the
+    frontier optimization (only edges out of vertices improved last round
+    are relaxed) is result-identical per round, just cheaper.
+
+    Scale design: same loop discipline as pagerank — CSR-blocked cached
+    edge table (hash by src, sorted), distance state through the
+    stats-guarded localCheckpoint / SuperstepCheckpointer, improved-count
+    riding the materialization as an observed metric, AQE + shuffle width
+    frozen on the loop's own session. The state holds REACHED vertices
+    only, so early rounds shuffle a frontier, not the vertex set.
+    """
+    caller = edges.sparkSession
+    spark = loop_session(caller)
+    edges = rebind(edges, spark)
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    e = edges.select(F.col("src"), F.col("dst"), w.alias("w")).filter(
+        F.col("src") != F.col("dst")
+    )
+    if not directed:
+        e = symmetrize_edges(e)
+    e = e.persist()
+    n_edges = e.count()
+    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = (
+        int(partitions)
+        if partitions
+        else max(1, min(conf_parts, (n_edges // 250_000) + 1))
+    )
+    csr = e.repartition(n_parts, "src").sortWithinPartitions("src").persist()
+    csr.count()
+    e.unpersist()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+
+    id_type = dict(csr.dtypes)["src"]
+    dist = spark.createDataFrame([(source,)], f"id {id_type}").select(
+        "id", F.lit(0.0).alias("dist")
+    )
+    dist = dist.repartition(n_parts, "id").localCheckpoint()
+    frontier = dist
+
+    history: list[dict[str, Any]] = []
+    converged = False
+    it = 0
+    try:
+        while it < max_iter:
+            it += 1
+            t0 = time.time()
+            cand = (
+                csr.join(frontier.select(F.col("id").alias("src"), "dist"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min(F.col("dist") + F.col("w")).alias("_cand"))
+            )
+            relaxed = (
+                dist.join(cand, "id", "full_outer")
+                .select(
+                    "id",
+                    F.least(
+                        F.coalesce("dist", F.lit(float("inf"))),
+                        F.coalesce("_cand", F.lit(float("inf"))),
+                    ).alias("dist"),
+                    (
+                        F.col("dist").isNull()
+                        | (F.coalesce("_cand", F.lit(float("inf"))) < F.col("dist"))
+                    ).alias("_improved"),
+                )
+            )
+            obs = Observation(f"sssp_iter_{it}_{time.time_ns()}")
+            relaxed = relaxed.observe(
+                obs,
+                F.sum(F.col("_improved").cast("long")).alias("improved"),
+                F.count(F.lit(1)).alias("rows"),
+            )
+            if checkpointer is not None:
+                relaxed = checkpointer.save(it, relaxed, {"pending": True})
+            else:
+                relaxed = stats_safe_local_checkpoint(relaxed)
+            m = obs.get
+            improved = int(m["improved"] or 0)
+            rec = {
+                "iteration": it,
+                "superstep_sec": round(time.time() - t0, 3),
+                "improved": improved,
+                "reached": int(m["rows"]),
+            }
+            history.append(rec)
+            if checkpointer is not None:
+                from bluegraph_spark.operators.pagerank import _update_metrics
+
+                _update_metrics(checkpointer, it, rec)
+            frontier = relaxed.filter(F.col("_improved")).select("id", "dist")
+            dist = relaxed.select("id", "dist")
+            if improved == 0:
+                converged = True
+                break
+    finally:
+        csr.unpersist()
+
+    return SSSPResult(rebind(dist, caller), it, converged, history)

@@ -21,27 +21,68 @@ from __future__ import annotations
 import itertools
 import time
 
+from py4j.protocol import Py4JError, Py4JJavaError
 from pyspark.sql import DataFrame, SparkSession
 
 _counter = itertools.count()
 
-# Runtime conf the loops read for sizing / pre-loop materialization; copied
-# caller -> loop session so a caller's runtime override (conf.set) behaves
-# exactly as it did when the loops ran on the caller's session directly.
-# (newSession() only inherits conf present in the SparkContext's SparkConf.)
-_INHERITED_CONFS = (
-    "spark.sql.shuffle.partitions",
-    "spark.sql.adaptive.enabled",
-    "spark.sql.autoBroadcastJoinThreshold",
-)
-
 
 def loop_session(caller: SparkSession) -> SparkSession:
-    """A fresh conf-isolated session sharing ``caller``'s SparkContext."""
+    """A fresh conf-isolated session sharing ``caller``'s SparkContext.
+
+    The caller's *explicitly set* runtime SQLConf delta is copied in
+    (``SQLConf.getAllConfs`` returns exactly the settings map, not
+    defaults), so a caller configuring at runtime via ``conf.set`` — time
+    zone, ANSI mode, codegen/join tunables — sees identical behavior inside
+    the loop as when the loops ran on the caller's session directly.
+    ``newSession()`` alone only inherits builder-time SparkConf entries.
+    Static/non-modifiable keys in the delta are skipped (they are
+    context-global already).
+    """
     s = caller.newSession()
-    for k in _INHERITED_CONFS:
-        s.conf.set(k, caller.conf.get(k))
+    try:
+        delta = caller._jsparkSession.sessionState().conf().getAllConfs()
+        it = delta.iterator()
+        while it.hasNext():
+            kv = it.next()
+            k, v = kv._1(), kv._2()
+            try:
+                if s.conf.isModifiable(k):
+                    s.conf.set(k, v)
+            except Exception:
+                continue
+    except Exception:
+        # JVM API drift: fall back to the confs the loops themselves read.
+        for k in (
+            "spark.sql.shuffle.partitions",
+            "spark.sql.adaptive.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        ):
+            s.conf.set(k, caller.conf.get(k))
     return s
+
+
+def _of_rows(df: DataFrame, target: SparkSession) -> DataFrame:
+    """Primary rebind route: a Dataset over the SAME analyzed plan.
+
+    ``Dataset.ofRows`` moved namespaces in Spark 4
+    (``org.apache.spark.sql.classic.Dataset``); on 3.x it lives at
+    ``org.apache.spark.sql.Dataset``. Version-gated instead of blind-try:
+    on 3.5 the classic path would raise on EVERY rebind and silently drop
+    to the view fallback, whose re-aliasing strands checkpoint-captured
+    partitioning (+2 exchanges per superstep — the plan-guard tests would
+    fail without explaining why).
+    """
+    major = int(target.version.split(".")[0])
+    dataset_cls = (
+        target._jvm.org.apache.spark.sql.classic.Dataset
+        if major >= 4
+        else target._jvm.org.apache.spark.sql.Dataset
+    )
+    jdf = dataset_cls.ofRows(
+        target._jsparkSession, df._jdf.queryExecution().analyzed()
+    )
+    return DataFrame(jdf, target)
 
 
 def rebind(df: DataFrame, target: SparkSession) -> DataFrame:
@@ -64,12 +105,15 @@ def rebind(df: DataFrame, target: SparkSession) -> DataFrame:
     if df.sparkSession._jsparkSession.equals(target._jsparkSession):
         return df
     try:
-        jdf = target._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
-            target._jsparkSession, df._jdf.queryExecution().analyzed()
-        )
-        return DataFrame(jdf, target)
-    except Exception:
-        pass
+        return _of_rows(df, target)
+    except (TypeError, AttributeError, Py4JError) as exc:
+        # TypeError/AttributeError: the Dataset class is a JavaPackage stub
+        # (the API moved again); Py4JError: no matching method signature. A
+        # real JVM execution error (Py4JJavaError) propagates — masking it
+        # behind the fallback would silently change plan quality.
+        if isinstance(exc, Py4JJavaError):
+            raise
+
     name = f"_bg_rebind_{next(_counter)}_{time.time_ns()}"
     df.createOrReplaceGlobalTempView(name)
     try:

@@ -7,6 +7,17 @@ behind an ``InMemoryTableScan``: the cached relation stores its build plan
 a scan of the materialized cache re-executes none of it — substring-
 counting "Exchange" over the plan string therefore overcounts, which is
 exactly the mistake the iterative loops' plan-guard tests must not make.
+
+Semantics: the count is the **steady-state** shuffle cost of the plan —
+exchanges behind an ``InMemoryTableScan`` are excluded whether or not the
+cache is materialized yet, so a snapshot taken before the first execution
+does NOT include the one-time cache-build exchanges that first run also
+executes (e.g. a CC round's two ``repartition`` cache builds, or
+PageRank's CSR-layout shuffle). That is deliberate: the loops take the
+snapshot on superstep/round 1 while the per-superstep guard pins the cost
+every *subsequent* iteration pays, which is what scales with iteration
+count. Bench output and BENCH/BASELINE.md label the recorded number
+"steady-state executed shuffles per superstep" accordingly.
 """
 
 from __future__ import annotations

@@ -327,3 +327,58 @@ def test_lsh_recall_reasonable(spark, vectors):
     # and every returned cosine is exact (verified in-bucket)
     for r in lsh_cosine_topk(vectors, vectors, 1, planes=8, tables=4).collect():
         assert -1.0 - 1e-9 <= r.cosine <= 1.0 + 1e-9
+
+
+def test_incremental_equals_batch_subset_of_full_run(spark, docs):
+    """The incremental contract: minhash_dedup_incremental(batch vs indexed
+    corpus) must equal the batch-involving subset of the one-shot
+    minhash_dedup_pairs over corpus ∪ batch — same knobs, same verified
+    jaccard values. This is what makes index reuse trustworthy."""
+    from bluegraph_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_dedup_incremental,
+        minhash_dedup_pairs,
+    )
+
+    split = docs.agg(F.expr("percentile(doc_id, 0.6)").cast("long")).collect()[0][0]
+    corpus = docs.filter(F.col("doc_id") < split)
+    batch = docs.filter(F.col("doc_id") >= split)
+    knobs = dict(n=3, num_hashes=8, bands=4)
+
+    full = minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.2, **knobs)
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    want = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 10))
+        for r in full.collect()
+        if r["id_a"] in batch_ids or r["id_b"] in batch_ids
+    }
+
+    index = minhash_band_index(corpus, "doc_id", "text", **knobs)
+    inc = minhash_dedup_incremental(
+        batch, corpus, index, "doc_id", "text", threshold=0.2, **knobs
+    )
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 10)) for r in inc.collect()
+    }
+    assert got == want
+    assert want, "fixture must produce at least one batch-involving pair"
+
+
+def test_incremental_index_reuse_no_corpus_pairs(spark, docs):
+    """corpus-vs-corpus pairs never appear (they were resolved when the
+    index was built)."""
+    from bluegraph_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_dedup_incremental,
+    )
+
+    split = docs.agg(F.expr("percentile(doc_id, 0.6)").cast("long")).collect()[0][0]
+    corpus = docs.filter(F.col("doc_id") < split)
+    batch = docs.filter(F.col("doc_id") >= split)
+    index = minhash_band_index(corpus, "doc_id", "text")
+    inc = minhash_dedup_incremental(
+        batch, corpus, index, "doc_id", "text", threshold=0.0
+    )
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    for r in inc.collect():
+        assert r["id_a"] in batch_ids or r["id_b"] in batch_ids

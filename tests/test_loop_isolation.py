@@ -73,3 +73,60 @@ def test_rebind_roundtrip_and_view_cleanup(spark):
     assert [t.name for t in spark.catalog.listTables("global_temp")] == []
     # same-session rebind is the identity
     assert rebind(df, spark) is df
+
+
+def test_rebind_fallback_route_usable(spark, monkeypatch):
+    """Force the Dataset.ofRows primary route to fail: rebind must fall
+    back to the transient-global-temp-view path and still produce a
+    correctly-planned DataFrame on the target session (VERDICT r3 #6 — the
+    fallback was never exercised before, so API drift would have silently
+    changed plan quality)."""
+    from bluegraph_spark.plans import isolation
+
+    def boom(df, target):
+        raise TypeError("'JavaPackage' object is not callable (simulated)")
+
+    monkeypatch.setattr(isolation, "_of_rows", boom)
+    target = loop_session(spark)
+    df = spark.range(25).select("id", (F.col("id") * 2).alias("y"))
+    out = rebind(df, target)
+    assert out.sparkSession._jsparkSession.equals(target._jsparkSession)
+    assert sorted((r["id"], r["y"]) for r in out.collect()) == [
+        (i, 2 * i) for i in range(25)
+    ]
+    # the transient view must not linger
+    assert not [
+        t.name for t in spark.catalog.listTables("global_temp")
+        if t.name.startswith("_bg_rebind_")
+    ]
+    # the fallback plan is still composable (join + agg on the target)
+    joined = out.join(out.withColumnRenamed("y", "z"), "id").agg(
+        F.sum("z").alias("s")
+    )
+    assert joined.collect()[0]["s"] == sum(2 * i for i in range(25))
+
+
+def test_rebind_primary_preserves_attribute_ids(spark):
+    """The primary route must NOT re-alias columns: the analyzed plan's
+    output attribute ids survive the session hop (what keeps a
+    localCheckpoint's captured partitioning usable downstream)."""
+    target = loop_session(spark)
+    df = spark.range(10).select("id", (F.col("id") + 1).alias("y"))
+    out = rebind(df, target)
+    src_ids = df._jdf.queryExecution().analyzed().output().mkString(",")
+    dst_ids = out._jdf.queryExecution().analyzed().output().mkString(",")
+    assert src_ids == dst_ids
+
+
+def test_loop_session_inherits_runtime_conf_delta(spark):
+    """ADVICE r3: a caller's runtime conf.set (beyond the 3 confs the loops
+    read) must be visible inside the loop session."""
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        s = loop_session(spark)
+        assert s.conf.get("spark.sql.session.timeZone") == "America/New_York"
+        # and isolation still holds in the other direction
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        assert spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
+    finally:
+        spark.conf.unset("spark.sql.session.timeZone")
