@@ -221,6 +221,48 @@ def cmd_ann(args) -> dict:
     return {"method": args.method, "rows": out.count(), "output": args.output}
 
 
+def cmd_louvain(args) -> dict:
+    from bluegraph_spark.operators.louvain import louvain
+
+    spark = _session(args)
+    res = louvain(
+        _read(spark, args.edges, args.fmt),
+        weight_col=args.weight_col,
+        max_levels=args.max_levels,
+        max_rounds=args.max_rounds,
+        checkpointer=_checkpointer(args),
+    )
+    _write(res.labels, args)
+    return {"levels": res.levels, "rounds": res.rounds, "converged": res.converged}
+
+
+def cmd_sssp(args) -> dict:
+    from bluegraph_spark.operators.paths import shortest_paths
+
+    spark = _session(args)
+    res = shortest_paths(
+        _read(spark, args.edges, args.fmt),
+        source=args.source,
+        weight_col=args.weight_col,
+        directed=args.directed,
+        max_iter=args.max_iter,
+        checkpointer=_checkpointer(args),
+    )
+    _write(res.distances, args)
+    return {"iterations": res.iterations, "converged": res.converged}
+
+
+def cmd_mst(args) -> dict:
+    from bluegraph_spark.operators.mst import minimum_spanning_forest
+
+    spark = _session(args)
+    res = minimum_spanning_forest(
+        _read(spark, args.edges, args.fmt), weight_col=args.weight_col or "weight"
+    )
+    _write(res.tree_edges, args)
+    return {"rounds": res.rounds, "converged": res.converged}
+
+
 def cmd_pipeline(args) -> dict:
     """Corpus -> co-occurrence edges -> all four analytics, checkpointed."""
     from bluegraph_spark.operators.components import connected_components
@@ -325,6 +367,25 @@ def build_parser() -> argparse.ArgumentParser:
     _add_iterative(p)
     _add_common(p)
     p.set_defaults(fn=cmd_triangles)
+
+    p = sub.add_parser("louvain")
+    _add_iterative(p)
+    p.add_argument("--max-levels", type=int, default=3)
+    p.add_argument("--max-rounds", type=int, default=20)
+    _add_common(p)
+    p.set_defaults(fn=cmd_louvain)
+
+    p = sub.add_parser("sssp")
+    _add_iterative(p)
+    p.add_argument("--source", required=True)
+    p.add_argument("--max-iter", type=int, default=50)
+    _add_common(p)
+    p.set_defaults(fn=cmd_sssp)
+
+    p = sub.add_parser("mst")
+    _add_iterative(p)
+    _add_common(p)
+    p.set_defaults(fn=cmd_mst)
 
     p = sub.add_parser("dedup")
     p.add_argument("--docs", required=True, help="documents table path (id, text)")
