@@ -218,8 +218,7 @@ def cooccurrence_edges(
     salt: int | None = None,
     salt_threshold: int = DEFAULT_SALT_THRESHOLD,
     limit: int | None = None,
-    eager: bool | str = "auto",
-    eager_threshold_bytes: int = 128 << 20,
+    eager: bool = False,
 ) -> DataFrame:
     """Build the co-occurrence edge table from a (node, factor) table.
 
@@ -233,27 +232,29 @@ def cooccurrence_edges(
     ``limit``: keep at most n edges — like the reference's early-exit limit
     (generators.py:238-243) the *choice* of edges is not deterministic.
 
-    ``eager=True``: the deduplicated occurrence table is persisted and
-    the edge table materialized (``localCheckpoint``) before returning, then
-    the occurrence cache is released. The occurrence table feeds up to four
-    plan branches (both self-join sides, the per-node marginals, the total-
-    factor count) and Spark executes each branch's scan independently —
-    measured as 4 full source scans for one NPMI build — so sharing one
-    materialized pass is the 100 TB shape (the edge table is this engine's
-    ingest product; the north-rule pipeline persists it to storage anyway).
-    ``eager=False`` returns the fully lazy plan (no persist, no action — the
-    total-factor count is folded in as a broadcast scalar either way) for
-    callers composing their own caching.
+    ``eager`` (default False): return the fully lazy plan — no persist, no
+    action; the total-factor count is folded in as a broadcast scalar. The
+    lazy NPMI plan re-executes the occurrence expression on up to 5 plan
+    branches (both self-join sides, the two marginal joins, the total-
+    factor count; no ``ReusedExchange`` appears under AQE), yet MEASURED it
+    wins at every scale this box can hold: sf0.1 suite 3.2s lazy vs
+    6.8–11.3s eager (round 3's regression), and the 30 M-occurrence-row
+    stress A/B 56.9s lazy vs 117.8s eager — because when the source is a
+    narrow, OS-cached columnar table, re-scanning it beats paying a
+    multi-GB persist of the occurrence table plus a localCheckpoint copy
+    of the whole edge table.
 
-    ``eager="auto"`` (default) decides from Catalyst's plan-statistics size
-    estimate of the occurrence table — free, no job: below
-    ``eager_threshold_bytes`` (128 MB) the lazy plan wins, because re-scanning
-    a small source 4× costs less than the persist + localCheckpoint round
-    trip (measured at sf0.1: the unconditional eager path made the NPMI
-    build 1.4–2.4× slower); above it the shared materialized pass wins (the
-    30 M-edge stress case, and any real corpus). Statistics are the right
-    signal here precisely because the decision only matters when the input
-    is orders of magnitude away from the threshold in either direction.
+    ``eager=True`` persists the deduplicated occurrence table, materializes
+    the edge table (``localCheckpoint``), and releases the cache before
+    returning. Pass it when the occurrence expression is SCAN-DOMINATED —
+    the 10^12-file corpus case, where ``occurrences_from_*`` reads wide
+    document text and emits a far smaller (node, factor) table: there the
+    5 branch re-scans each re-read the full corpus and one shared pass is
+    the only sane plan. The discriminator is source-scan cost vs derived-
+    table size, which no local benchmark at parquet-page-cache scale can
+    exhibit — hence a caller knob with both measurements documented, not a
+    size-threshold heuristic (round 4 tried one; both of its regimes were
+    measurably wrong).
     """
     for s in statistics:
         if s not in STATISTICS:
@@ -271,13 +272,6 @@ def cooccurrence_edges(
             .drop("_fc")
         )
 
-    if eager == "auto":
-        try:
-            sz = occ._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-            est = sz if isinstance(sz, int) else int(sz.toString())
-        except Exception:
-            est = eager_threshold_bytes + 1  # unknown size: assume big
-        eager = est > eager_threshold_bytes
     if eager:
         occ = occ.persist()
 

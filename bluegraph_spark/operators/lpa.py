@@ -106,9 +106,21 @@ def label_propagation(
     # CSR-blocked cache from it, then drop the raw cache.
     e0 = e.persist()
 
+    if partitions:
+        n_parts = int(partitions)
+    else:
+        n_edges = e0.count()
+        n_parts = max(1, min(conf_parts, (n_edges // 250_000) + 1))
+    e = e0.repartition(n_parts, "src").sortWithinPartitions("src").persist()
+
+    # Vertex set from the CSR cache, NOT from e0: the label-init checkpoint
+    # below runs after e0 is dropped, and a vertices plan rooted on e0
+    # would silently re-execute the full (possibly expensive) upstream edge
+    # expression at that point — measured as an extra complete
+    # co-occurrence join per LPA call on lazy inputs.
     if nodes is None:
         # symmetrized + self-loop-free: the src set IS the vertex set
-        vertices = e0.select(F.col("src").alias("id")).distinct()
+        vertices = e.select(F.col("src").alias("id")).distinct()
     else:
         id_type = dict(edges.dtypes).get("src", "string")
         first = nodes.columns[0]
@@ -120,12 +132,6 @@ def label_propagation(
             vertices = nodes.select(
                 F.col(first).cast(id_type).alias("id")
             ).distinct()
-    if partitions:
-        n_parts = int(partitions)
-    else:
-        n_edges = e0.count()
-        n_parts = max(1, min(conf_parts, (n_edges // 250_000) + 1))
-    e = e0.repartition(n_parts, "src").sortWithinPartitions("src").persist()
 
     # Materialize the CSR cache under AQE, then freeze the plan BEFORE the
     # initial labels materialize: a localCheckpoint taken under AQE captures

@@ -37,10 +37,18 @@ def degree_centrality(
     # ids keep their native type (consistent with pagerank/CC/LPA output,
     # so batch metric joins never mix string and numeric key types)
     e = edges.select(F.col("src"), F.col("dst"), w.alias("w"))
-    # count both endpoints (self-loop contributes twice in nx undirected)
-    ends = e.select(F.col("src").alias("id"), "w").unionByName(
-        e.select(F.col("dst").alias("id"), "w")
-    )
+    # count both endpoints (self-loop contributes twice in nx undirected).
+    # Single-pass explode, not a two-branch union: a union would embed —
+    # and execute — the input plan twice (costly for lazy co-occurrence
+    # inputs; see pgframe.symmetrize_edges).
+    ends = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("id"), F.col("w").alias("w")),
+                F.struct(F.col("dst").alias("id"), F.col("w").alias("w")),
+            )
+        ).alias("_x")
+    ).select("_x.*")
     deg = ends.groupBy("id").agg(F.sum("w").alias("degree"))
     if nodes is not None:
         id_type = dict(edges.dtypes).get("src", "string")

@@ -15,11 +15,14 @@ Algorithm (Borůvka, the textbook distributed MST): every component picks
 its minimum incident cross-component edge under the total order (a
 ``min`` over an edge struct — partial-aggregating groupBy, skew-safe);
 the picked edges join components pairwise-or-more, so components at least
-halve every round (≤ log2(V) rounds). Component contraction reuses the
-engine's large-star/small-star ``connected_components`` operator on the
-picked-edge graph — the same code path that carries the 30M-edge stress
-evidence — and the surviving cross-component edge set (which shrinks
-monotonically) is re-labeled through the new component map each round.
+halve every round (≤ log2(V) rounds). Component contraction is inline
+pointer jumping over the min-edge pointer graph (which, under a total
+edge order, has exactly one 2-cycle per merged cluster and no longer
+cycles — see the in-code proof sketch): O(log depth) self-joins of a
+mapping table bounded by the component count, much cheaper than invoking
+the full CC operator per round. The surviving cross-component edge set
+(which shrinks monotonically) is re-labeled through the new map each
+round.
 """
 
 from __future__ import annotations
@@ -28,7 +31,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from bluegraph_spark.plans.isolation import loop_session, rebind
@@ -70,7 +73,18 @@ def minimum_spanning_forest(
         .groupBy("u", "v")
         .agg(F.min("w").alias("w"))
     )
-    rem = stats_safe_local_checkpoint(canon)
+    obs0 = Observation(f"mst_init_{time.time_ns()}")
+    rem = stats_safe_local_checkpoint(
+        canon.observe(obs0, F.count(F.lit(1)).alias("n"))
+    )
+    n_edges = int(obs0.get["n"] or 0)
+    # Size the loop's shuffle width to the data (the round tables are the
+    # edge set and the component map — at suite scale a 32-wide shuffle of
+    # a 1000-row mapping is ~10 empty tasks per stage, and a Borůvka round
+    # runs ~6 small jobs; the width pin lands on the loop's own session).
+    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = max(1, min(conf_parts, (n_edges // 250_000) + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
 
     # comp: (id, comp) over vertices incident to remaining edges; vertices
     # with no surviving cross edge never change again, so tracking only the
@@ -94,42 +108,85 @@ def minimum_spanning_forest(
             .join(comp.select(F.col("id").alias("v"), F.col("comp").alias("cv")), "v")
             .filter(F.col("cu") != F.col("cv"))
         )
-        ec = stats_safe_local_checkpoint(ec)
-        n_cross = ec.count()
+        obs_ec = Observation(f"mst_ec_{rnd}_{time.time_ns()}")
+        ec = stats_safe_local_checkpoint(
+            ec.observe(obs_ec, F.count(F.lit(1)).alias("n"))
+        )
+        n_cross = int(obs_ec.get["n"] or 0)
         if n_cross == 0:
             converged = True
             history.append(
                 {"round": rnd, "superstep_sec": round(time.time() - t0, 3),
-                 "cross_edges": 0, "picked": 0}
+                 "cross_edges": 0, "offering_components": 0}
             )
             break
         # every component's minimum incident edge under (w, u, v); struct
-        # min gives the total-order tie-break in one partial aggregation
+        # min gives the total-order tie-break in one partial aggregation.
+        # Explode both endpoints in one pass (a union would re-execute ec's
+        # scan twice — see pgframe.symmetrize_edges).
         edge_struct = F.struct(
             F.col("w"), F.col("u"), F.col("v"), F.col("cu"), F.col("cv")
         )
-        offers = ec.select(F.col("cu").alias("c"), edge_struct.alias("e")).unionByName(
-            ec.select(F.col("cv").alias("c"), edge_struct.alias("e"))
+        offers = ec.select(
+            F.explode(F.array(F.col("cu"), F.col("cv"))).alias("c"),
+            edge_struct.alias("e"),
         )
-        picked = (
+        obs_sel = Observation(f"mst_sel_{rnd}_{time.time_ns()}")
+        sel = stats_safe_local_checkpoint(
             offers.groupBy("c")
             .agg(F.min("e").alias("e"))
-            .select("e.u", "e.v", "e.w", "e.cu", "e.cv")
-            .distinct()  # both endpoints' components may pick the same edge
+            .observe(obs_sel, F.count(F.lit(1)).alias("n"))
         )
-        picked = stats_safe_local_checkpoint(picked)
-        n_picked = picked.count()
-        forest_parts.append(picked.select("u", "v", "w"))
-        # contract: CC over the picked component graph gives each merged
-        # cluster its min component id; unmatched components keep theirs
-        from bluegraph_spark.operators.components import connected_components
-
-        cc = connected_components(
-            picked.select(F.col("cu").alias("src"), F.col("cv").alias("dst"))
+        n_offering = int(obs_sel.get["n"] or 0)
+        # lazy over the sel checkpoint; deduped when the forest is assembled
+        forest_parts.append(sel.select("e.u", "e.v", "e.w").distinct())
+        # Contract via pointer jumping on the min-edge functional graph:
+        # each active component points at the component across its chosen
+        # edge. Under a total edge order this pointer graph has exactly one
+        # 2-cycle per merged cluster (the cluster's globally minimal edge
+        # is chosen by BOTH endpoints; any longer cycle would need every
+        # edge to be lighter than the next around it) and no other cycles,
+        # so rooting the 2-cycle at its smaller id and squaring the pointer
+        # table O(log depth) times canonicalizes every cluster — a few
+        # joins over the (tiny, ≤ #components) mapping table per round,
+        # instead of a full connected-components invocation (which cost
+        # more than the rest of the round put together at suite scale).
+        ptr = sel.select(
+            "c",
+            F.when(F.col("e.cu") == F.col("c"), F.col("e.cv"))
+            .otherwise(F.col("e.cu"))
+            .alias("t"),
         )
-        mapping = cc.components.select(
-            F.col("id").alias("comp"), F.col("component").alias("_new")
+        two = ptr.select(F.col("c").alias("t"), F.col("t").alias("tt"))
+        parent = stats_safe_local_checkpoint(
+            ptr.join(two, "t", "left").select(
+                "c",
+                F.when(
+                    (F.col("tt") == F.col("c")) & (F.col("c") < F.col("t")),
+                    F.col("c"),
+                )
+                .otherwise(F.col("t"))
+                .alias("p"),
+            )
         )
+        for _ in range(64):  # ≥ log2 of any cluster chain; loop exits early
+            gp = parent.select(F.col("c").alias("p"), F.col("p").alias("gp"))
+            nxt = (
+                parent.join(gp, "p", "left")
+                .select(
+                    "c",
+                    F.coalesce("gp", "p").alias("p"),
+                    (F.coalesce("gp", "p") != F.col("p")).alias("_ch"),
+                )
+            )
+            obs = Observation(f"mst_jump_{rnd}_{time.time_ns()}")
+            nxt = nxt.observe(obs, F.sum(F.col("_ch").cast("long")).alias("ch"))
+            nxt = stats_safe_local_checkpoint(nxt)
+            changed = int(obs.get["ch"] or 0)
+            parent = nxt.select("c", "p")
+            if changed == 0:
+                break
+        mapping = parent.select(F.col("c").alias("comp"), F.col("p").alias("_new"))
         comp = stats_safe_local_checkpoint(
             comp.join(mapping, "comp", "left").select(
                 "id", F.coalesce("_new", "comp").alias("comp")
@@ -138,7 +195,7 @@ def minimum_spanning_forest(
         rem = ec.select("u", "v", "w")
         history.append(
             {"round": rnd, "superstep_sec": round(time.time() - t0, 3),
-             "cross_edges": n_cross, "picked": n_picked}
+             "cross_edges": n_cross, "offering_components": n_offering}
         )
 
     if forest_parts:

@@ -136,10 +136,11 @@ def triangle_counts(edges: DataFrame, nodes: DataFrame | None = None) -> DataFra
     o = _oriented(canon).persist()
     m = o.count()
     tri = _corner_table(o, m)
-    corners = (
-        tri.select(F.col("x").alias("id"))
-        .unionByName(tri.select(F.col("y").alias("id")))
-        .unionByName(tri.select(F.col("z").alias("id")))
+    # single-pass corner explode: a 3-branch union would run the (dominant)
+    # triangle-enumeration join three times — tri is deliberately not
+    # cached, so fan-out = re-execution (see pgframe.symmetrize_edges)
+    corners = tri.select(
+        F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("id")
     )
     counts = corners.groupBy("id").agg(F.count("*").alias("triangles"))
     if nodes is None:
