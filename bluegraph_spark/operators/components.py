@@ -39,7 +39,10 @@ from pyspark.sql import functions as F
 
 from bluegraph_spark.plans.checkpoint import SuperstepCheckpointer
 from bluegraph_spark.plans.isolation import loop_session, rebind
-from bluegraph_spark.plans.stats_guard import stats_safe_local_checkpoint
+from bluegraph_spark.plans.stats_guard import (
+    release_local_checkpoint,
+    stats_safe_local_checkpoint,
+)
 
 
 @dataclass
@@ -266,6 +269,9 @@ def connected_components(
             _update_metrics(
                 checkpointer, rnd, {"sig_cnt": sig[0], "sig_hash": sig[1]}
             )
+        # e_new is materialized (the signature job ran): free the superseded
+        # round's checkpoint blocks now instead of waiting for periodic GC.
+        release_local_checkpoint(e)
         e = e_new
         if sig == prev_sig:
             converged = True

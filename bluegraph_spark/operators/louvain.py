@@ -71,7 +71,10 @@ from pyspark.sql import functions as F
 from bluegraph_spark.pgframe import symmetrize_edges
 from bluegraph_spark.plans.checkpoint import SuperstepCheckpointer
 from bluegraph_spark.plans.isolation import loop_session, rebind
-from bluegraph_spark.plans.stats_guard import stats_safe_local_checkpoint
+from bluegraph_spark.plans.stats_guard import (
+    release_local_checkpoint,
+    stats_safe_local_checkpoint,
+)
 
 
 @dataclass
@@ -130,6 +133,7 @@ def _local_move_rounds(
     rnd = 0
     zero_streak = 0
     converged = False
+    prev_cp: DataFrame | None = None
     target_rounds = exact_rounds if exact_rounds is not None else max_rounds
     while rnd < target_rounds:
         rnd += 1
@@ -206,6 +210,11 @@ def _local_move_rounds(
             new_labels = stats_safe_local_checkpoint(new_labels)
         t_ckpt = time.time() - t0 - t_build
         m = obs.get
+        # The new checkpoint is materialized; free the previous in-loop
+        # checkpoint's blocks deterministically (the level's initial labels,
+        # created outside this loop, are never touched).
+        release_local_checkpoint(prev_cp)
+        prev_cp = new_labels
         moves = int(m["moves"] or 0)
         rec = {
             "level": level,

@@ -40,7 +40,10 @@ from pyspark.sql import functions as F
 from bluegraph_spark.pgframe import symmetrize_edges
 from bluegraph_spark.plans.checkpoint import SuperstepCheckpointer
 from bluegraph_spark.plans.isolation import loop_session, rebind
-from bluegraph_spark.plans.stats_guard import stats_safe_local_checkpoint
+from bluegraph_spark.plans.stats_guard import (
+    release_local_checkpoint,
+    stats_safe_local_checkpoint,
+)
 
 
 @dataclass
@@ -218,6 +221,11 @@ def label_propagation(
                 from bluegraph_spark.operators.pagerank import _update_metrics
 
                 _update_metrics(checkpointer, it, rec)
+            # Successor materialized (obs.get returned): free the
+            # superseded label state's blocks deterministically rather than
+            # waiting for a periodic-GC ContextCleaner pass. The initial
+            # labels (a projection over the vertex checkpoint) no-op.
+            release_local_checkpoint(labels)
             labels = new_labels
             if changes == 0:
                 converged = True

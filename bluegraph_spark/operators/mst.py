@@ -35,7 +35,10 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from bluegraph_spark.plans.isolation import loop_session, rebind
-from bluegraph_spark.plans.stats_guard import stats_safe_local_checkpoint
+from bluegraph_spark.plans.stats_guard import (
+    release_local_checkpoint,
+    stats_safe_local_checkpoint,
+)
 
 
 @dataclass
@@ -99,6 +102,12 @@ def minimum_spanning_forest(
     forest_parts: list[DataFrame] = []
     history: list[dict[str, Any]] = []
     converged = False
+    # Deterministic block release: each round's ec/comp/pointer checkpoints
+    # are dead the moment their successor materializes — free them then
+    # rather than waiting for a periodic-GC ContextCleaner pass. The sel
+    # checkpoints are NOT released (the forest output reads them lazily),
+    # and the initial rem checkpoint survives for the empty-forest path.
+    prev_ec: DataFrame | None = None
     rnd = 0
     while rnd < max_rounds:
         rnd += 1
@@ -113,6 +122,7 @@ def minimum_spanning_forest(
             ec.observe(obs_ec, F.count(F.lit(1)).alias("n"))
         )
         n_cross = int(obs_ec.get["n"] or 0)
+        release_local_checkpoint(prev_ec)
         if n_cross == 0:
             converged = True
             history.append(
@@ -158,7 +168,7 @@ def minimum_spanning_forest(
             .alias("t"),
         )
         two = ptr.select(F.col("c").alias("t"), F.col("t").alias("tt"))
-        parent = stats_safe_local_checkpoint(
+        parent_cp = parent = stats_safe_local_checkpoint(
             ptr.join(two, "t", "left").select(
                 "c",
                 F.when(
@@ -183,16 +193,22 @@ def minimum_spanning_forest(
             nxt = nxt.observe(obs, F.sum(F.col("_ch").cast("long")).alias("ch"))
             nxt = stats_safe_local_checkpoint(nxt)
             changed = int(obs.get["ch"] or 0)
+            release_local_checkpoint(parent_cp)
+            parent_cp = nxt
             parent = nxt.select("c", "p")
             if changed == 0:
                 break
         mapping = parent.select(F.col("c").alias("comp"), F.col("p").alias("_new"))
-        comp = stats_safe_local_checkpoint(
+        new_comp = stats_safe_local_checkpoint(
             comp.join(mapping, "comp", "left").select(
                 "id", F.coalesce("_new", "comp").alias("comp")
             )
         )
+        release_local_checkpoint(parent_cp)
+        release_local_checkpoint(comp)
+        comp = new_comp
         rem = ec.select("u", "v", "w")
+        prev_ec = ec
         history.append(
             {"round": rnd, "superstep_sec": round(time.time() - t0, 3),
              "cross_edges": n_cross, "offering_components": n_offering}

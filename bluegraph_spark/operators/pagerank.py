@@ -39,7 +39,10 @@ from pyspark.sql import functions as F
 from bluegraph_spark.pgframe import symmetrize_edges
 from bluegraph_spark.plans.checkpoint import SuperstepCheckpointer
 from bluegraph_spark.plans.isolation import loop_session, rebind
-from bluegraph_spark.plans.stats_guard import stats_safe_local_checkpoint
+from bluegraph_spark.plans.stats_guard import (
+    release_local_checkpoint,
+    stats_safe_local_checkpoint,
+)
 
 
 @dataclass
@@ -308,6 +311,10 @@ def pagerank(
             if checkpointer is not None:
                 # overwrite the pending metrics with the full record
                 _update_metrics(checkpointer, it, rec)
+            # The successor is materialized (obs.get returned ⇒ the
+            # checkpoint job finished): free the superseded state's blocks
+            # now instead of waiting for a periodic full GC to reclaim them.
+            release_local_checkpoint(state)
             state = new_state
             if converged:
                 break

@@ -32,7 +32,10 @@ from pyspark.sql import functions as F
 from bluegraph_spark.pgframe import symmetrize_edges
 from bluegraph_spark.plans.checkpoint import SuperstepCheckpointer
 from bluegraph_spark.plans.isolation import loop_session, rebind
-from bluegraph_spark.plans.stats_guard import stats_safe_local_checkpoint
+from bluegraph_spark.plans.stats_guard import (
+    release_local_checkpoint,
+    stats_safe_local_checkpoint,
+)
 
 
 def top_neighbors(
@@ -125,6 +128,7 @@ def shortest_paths(
     )
     dist = dist.repartition(n_parts, "id").localCheckpoint()
     frontier = dist
+    prev_cp = dist
 
     history: list[dict[str, Any]] = []
     converged = False
@@ -163,6 +167,11 @@ def shortest_paths(
             else:
                 relaxed = stats_safe_local_checkpoint(relaxed)
             m = obs.get
+            # relaxed is materialized; the previous distance checkpoint
+            # (dist and frontier are projections over it) is dead — free its
+            # blocks now instead of waiting for a periodic-GC cleaner pass.
+            release_local_checkpoint(prev_cp)
+            prev_cp = relaxed
             improved = int(m["improved"] or 0)
             rec = {
                 "iteration": it,
