@@ -707,6 +707,43 @@ def q_dedup_incremental_docs(spark, sf_dir):
     )
 
 
+NEG_SEED = 42  # shared by q_negative_edges_li and its oracle
+
+
+def q_negative_edges_li(spark, sf_dir):
+    """Negative-edge sampling (reference generate_negative_edges,
+    downstream/link_prediction.py:26-80) over the supplier→part bipartite
+    graph, p=0.5 of the edge count. The engine's sampler is deterministic
+    (seeded md5 hash stream → dense node-index pairs → anti-joins →
+    first-n by generation index), so the oracle replays the identical
+    construction in SQL: same 60-bit md5 hash, same row_number node
+    ranking, same anti-join and trim — exact row equality, not just
+    statistics."""
+    from bluegraph_spark.operators.linkpred import generate_negative_edges
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
+    ).distinct()
+    return generate_negative_edges(edges, p=0.5, seed=NEG_SEED, directed=True)
+
+
+def q_edge_features_emb(spark, sf_dir):
+    """EdgePredictor binary operators (reference BINARY_OPERATORS:
+    hadamard/l1/l2/average, downstream/link_prediction.py:83-101) reduced
+    to per-edge scalars (dot, Σl1, Σl2, Σavg) over consecutive-id
+    embedding pairs. Left-fold sums from 0.0 match DuckDB list_reduce
+    association exactly; round(6) guards the display boundary."""
+    from bluegraph_spark.operators.linkpred import edge_feature_scores
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = emb.select(
+        F.col("vec_id").alias("src"), (F.col("vec_id") + 1).alias("dst")
+    )
+    return edge_feature_scores(pairs, emb)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: part co-occurrence graph at sf0.001 → weighted PageRank to
     convergence → scores joined with degree."""
@@ -769,6 +806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_parts": q_sssp_parts,
         "mst_suppliers": q_mst_suppliers,
         "dedup_incremental_docs": q_dedup_incremental_docs,
+        "negative_edges_li": q_negative_edges_li,
+        "edge_features_emb": q_edge_features_emb,
     }
 
 
@@ -1988,5 +2027,70 @@ ranked AS (
 )
 SELECT user_id, event_type, n, total_value, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 3
+""",
+        # Exact replay of the engine's deterministic sampler: identical
+        # md5-based 60-bit hash (verified bit-equal between engines),
+        # identical global node ranking, identical anti-join + first-n trim.
+        "negative_edges_li": f"""
+WITH edges AS (
+  SELECT DISTINCT 's:' || l_suppkey AS src, 'p:' || l_partkey AS dst
+  FROM lineitem
+),
+nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+idx AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS idx FROM nodes),
+par AS (
+  SELECT (SELECT count(*) FROM idx) AS v,
+         CAST(floor((SELECT count(*) FROM edges) * 0.5) AS BIGINT) AS n
+),
+-- DuckDB's generate_series takes only constant bounds, so the candidate
+-- index stream 0..m-1 is carved from row numbers over lineitem x 2 (raw
+-- rows >= distinct edges, hence 2*raw >= 3*n = m; only the index SET
+-- matters, so the window's row order is irrelevant).
+gen AS (
+  SELECT row_number() OVER () - 1 AS i
+  FROM lineitem CROSS JOIN (VALUES (0), (1)) dup(b)
+),
+cand AS (
+  SELECT g.i AS gen_i,
+         (('0x' || substr(md5('{NEG_SEED}:' || g.i), 1, 15))::BIGINT) % par.v AS sidx,
+         (('0x' || substr(md5('{NEG_SEED + 1}:' || g.i), 1, 15))::BIGINT) % par.v AS didx
+  FROM par, gen g
+  WHERE g.i < par.n * 3
+),
+paired AS (
+  SELECT si.id AS src, di.id AS dst, c.gen_i
+  FROM cand c
+  JOIN idx si ON si.idx = c.sidx
+  JOIN idx di ON di.idx = c.didx
+  WHERE c.sidx <> c.didx
+),
+neg AS (
+  SELECT p.src, p.dst, min(p.gen_i) AS gen_i
+  FROM paired p
+  ANTI JOIN edges e ON p.src = e.src AND p.dst = e.dst
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT src, dst, gen_i, row_number() OVER (ORDER BY gen_i) AS rn FROM neg
+)
+SELECT src, dst, gen_i FROM ranked WHERE rn <= (SELECT n FROM par)
+""",
+        # Same left-fold association as the engine (0.0 + x1 == x1 in
+        # IEEE754, then identical op order), float->double casts exact.
+        "edge_features_emb": """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, a.v AS u, b.v AS w
+  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+)
+SELECT src, dst,
+  round(list_reduce(list_transform(generate_series(1, len(u)), i -> u[i] * w[i]), (a, b) -> a + b), 6) AS dot,
+  round(list_reduce(list_transform(generate_series(1, len(u)), i -> abs(u[i] - w[i])), (a, b) -> a + b), 6) AS l1_dist,
+  round(list_reduce(list_transform(generate_series(1, len(u)), i -> (u[i] - w[i]) * (u[i] - w[i])), (a, b) -> a + b), 6) AS l2_sq,
+  round(list_reduce(list_transform(generate_series(1, len(u)), i -> (u[i] + w[i]) / 2.0), (a, b) -> a + b), 6) AS avg_sum
+FROM p
 """,
     }

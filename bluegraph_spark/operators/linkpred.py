@@ -1,0 +1,247 @@
+"""Link-prediction data operators: negative-edge sampling + edge features.
+
+Reference surface (re-expressed Spark-first, not ported):
+
+- ``generate_negative_edges``
+  (/root/reference/bluegraph/downstream/link_prediction.py:26-80): sample
+  ``int(|E| * p)`` ordered node pairs that are NOT edges of the graph
+  (nor reversed edges when undirected, nor in an explicit exclusion set).
+  The reference shuffles driver-side node lists with ``np.random`` — a
+  non-reproducible O(V)-memory loop. This engine replaces it with a
+  deterministic, fully distributed construction (seeded hash → node-index
+  pairs → anti-joins), so the same (seed, graph) always yields the same
+  negatives on any cluster size, and the sampler is expressible in ANSI
+  SQL for the differential oracle.
+
+- ``BINARY_OPERATORS`` hadamard / l1 / l2 / average
+  (/root/reference/bluegraph/downstream/link_prediction.py:83-101): the
+  per-edge feature vectors an ``EdgePredictor`` consumes, computed from
+  the two endpoint embeddings. Pure ``zip_with`` codegen — no Python UDF.
+
+Scale design:
+
+- The node→dense-index map is a global rank computed as range-partition +
+  within-partition ``row_number`` + driver-side partition offsets (the
+  standard distributed zipWithIndex shape): two O(V) exchanges total, no
+  single-partition window. The mapping is the rank of the id in global
+  order, so it is invariant to partition-boundary placement.
+- Candidate generation is ``spark.range(m)`` + two portable seeded hashes
+  (md5 hex → 60-bit int, reproducible in DuckDB as
+  ``('0x'||substr(md5(s),1,15))::bigint``) — embarrassingly parallel.
+- Membership tests are ``left_anti`` equi-joins (shuffle or broadcast as
+  the optimizer sizes them); dedup + trim is one aggregation and a
+  ``TakeOrdered`` (no global sort materialization).
+- Oversampling replaces the reference's retry loop: for a graph with edge
+  density d, a factor of ``oversample/(1-d)`` candidate pairs leaves the
+  target count after collisions/self-loops/hits with overwhelming
+  probability at any realistic scale; the function returns fewer only
+  when the graph is nearly complete (documented, matching the reference's
+  own bounded-iteration behavior).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def portable_hash(seed: int | str, col: Column) -> Column:
+    """Deterministic 60-bit non-negative hash, identical in Spark and DuckDB.
+
+    Spark: ``conv(substr(md5(seed || ':' || x), 1, 15), 16, 10)``;
+    DuckDB: ``(('0x' || substr(md5(seed || ':' || x), 1, 15))::bigint)``.
+    15 hex digits < 2^60, so the bigint cast never overflows (ANSI-safe).
+    """
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(str(seed)), col.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+    )
+
+
+def node_index(nodes: DataFrame, id_col: str = "id", partitions: int | None = None) -> DataFrame:
+    """(id, idx) with idx = dense 0-based rank of ``id`` in global order.
+
+    Distributed zipWithIndex: range-partition by id, rank within each
+    partition, add driver-computed partition offsets (one tiny collect of
+    ``n_partitions`` counts). The result is partition-layout-invariant —
+    idx is the global rank — so it hash-compares against a plain
+    ``row_number() OVER (ORDER BY id) - 1`` oracle.
+    """
+    spark = nodes.sparkSession
+    n_parts = int(
+        partitions or spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    ids = nodes.select(F.col(id_col).alias("id")).distinct()
+    ranged = (
+        ids.repartitionByRange(n_parts, "id")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    counts = ranged.groupBy("_pid").count().collect()
+    offsets = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += row["count"]
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+    )
+    w = Window.partitionBy("_pid").orderBy("id")
+    return (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .select(
+            "id",
+            (F.row_number().over(w) - 1 + F.col("_off")).alias("idx"),
+        )
+    )
+
+
+def generate_negative_edges(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    p: float = 0.5,
+    n: int | None = None,
+    seed: int = 42,
+    directed: bool = True,
+    edges_to_exclude: DataFrame | None = None,
+    oversample: float = 3.0,
+) -> DataFrame:
+    """Deterministic distributed negative-edge sampler.
+
+    Returns ``(src, dst, gen_i)`` — up to ``n`` (default
+    ``int(|E| * p)``, the reference's count) ordered non-edges, chosen as
+    the first survivors by generation index ``gen_i`` of a seeded-hash
+    candidate stream. ``nodes`` defaults to the edge endpoint set.
+    ``directed=False`` additionally excludes reversed existing edges
+    (reference: ``existing_edges.update(reversed)``,
+    link_prediction.py:63-65).
+    """
+    e = edges.select(F.col("src"), F.col("dst"))
+    if nodes is None:
+        nodes = e.select(F.col("src").alias("id")).unionByName(
+            e.select(F.col("dst").alias("id"))
+        )
+    idx = node_index(nodes, id_col=nodes.columns[0]).persist()
+    V = idx.count()
+    if n is None:
+        n_excl = edges_to_exclude.count() if edges_to_exclude is not None else 0
+        n = int((e.count() - n_excl) * p)
+    if V < 2 or n <= 0:
+        idx.unpersist()
+        return (
+            e.select("src", "dst").limit(0).withColumn("gen_i", F.lit(0).cast("long"))
+        )
+    m = int(n * oversample)
+
+    spark = edges.sparkSession
+    cand = (
+        spark.range(m)
+        .select(
+            F.col("id").alias("gen_i"),
+            F.pmod(portable_hash(seed, F.col("id")), F.lit(V)).alias("_sidx"),
+            F.pmod(portable_hash(seed + 1, F.col("id")), F.lit(V)).alias("_didx"),
+        )
+        .filter(F.col("_sidx") != F.col("_didx"))
+    )
+    paired = (
+        cand.join(idx.select(F.col("idx").alias("_sidx"), F.col("id").alias("src")), "_sidx")
+        .join(idx.select(F.col("idx").alias("_didx"), F.col("id").alias("dst")), "_didx")
+        .select("src", "dst", "gen_i")
+    )
+    existing = e
+    if not directed:
+        existing = existing.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    out = paired.join(existing.select("src", "dst"), ["src", "dst"], "left_anti")
+    if edges_to_exclude is not None:
+        out = out.join(
+            edges_to_exclude.select("src", "dst"), ["src", "dst"], "left_anti"
+        )
+    result = (
+        out.groupBy("src", "dst")
+        .agg(F.min("gen_i").alias("gen_i"))
+        .orderBy("gen_i")
+        .limit(n)
+    )
+    # The TakeOrdered output is tiny (≤ n rows) and fully determined; the
+    # index cache can go as soon as the result is materialized. Callers
+    # that keep the result lazy keep the cache alive via lineage — safe
+    # either way, so release on a materialized copy.
+    result = result.localCheckpoint()
+    idx.unpersist()
+    return result
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def edge_features(
+    pairs: DataFrame,
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    operators: tuple[str, ...] = ("hadamard", "l1", "l2", "average"),
+) -> DataFrame:
+    """Per-edge feature vectors from endpoint embeddings (reference
+    BINARY_OPERATORS, link_prediction.py:83-101), as array<double> columns.
+
+    Pure codegen: two equi-joins bring in the endpoint vectors, then
+    ``zip_with`` lambdas — no Python UDF, no shuffle beyond the joins.
+    """
+    u = embeddings.select(
+        F.col(id_col).alias("src"), _as_double(F.col(vec_col)).alias("_u")
+    )
+    v = embeddings.select(
+        F.col(id_col).alias("dst"), _as_double(F.col(vec_col)).alias("_v")
+    )
+    out = pairs.join(u, "src").join(v, "dst")
+    exprs = {
+        "hadamard": F.zip_with("_u", "_v", lambda a, b: a * b),
+        "l1": F.zip_with("_u", "_v", lambda a, b: F.abs(a - b)),
+        "l2": F.zip_with("_u", "_v", lambda a, b: (a - b) * (a - b)),
+        "average": F.zip_with("_u", "_v", lambda a, b: (a + b) / F.lit(2.0)),
+    }
+    unknown = set(operators) - set(exprs)
+    if unknown:
+        raise ValueError(f"unknown binary operators: {sorted(unknown)}")
+    return out.select(
+        "src", "dst", *[exprs[op].alias(op) for op in operators]
+    )
+
+
+def edge_feature_scores(
+    pairs: DataFrame,
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Scalar reductions of the four reference binary operators per edge:
+    dot (Σ hadamard), l1_dist (Σ l1), l2_sq (Σ l2), avg_sum (Σ average).
+
+    The sums are left folds from 0.0 — the same association order DuckDB's
+    ``list_reduce`` produces (0.0 + x₁ ≡ x₁ in IEEE754) — so with
+    ``round_to`` the outputs hash-compare across engines.
+    """
+    feats = edge_features(pairs, embeddings, id_col=id_col, vec_col=vec_col)
+    zero = F.lit(0.0)
+
+    def _sum(c: str) -> Column:
+        s = F.aggregate(F.col(c), zero, lambda acc, x: acc + x)
+        return F.round(s, round_to) if round_to is not None else s
+
+    return feats.select(
+        "src",
+        "dst",
+        _sum("hadamard").alias("dot"),
+        _sum("l1").alias("l1_dist"),
+        _sum("l2").alias("l2_sq"),
+        _sum("average").alias("avg_sum"),
+    )

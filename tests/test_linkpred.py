@@ -1,0 +1,119 @@
+"""Link-prediction operators: negative sampling + edge features.
+
+Oracle strategy (SURVEY §5): pure-Python/numpy recomputation on collected
+small fixtures; the sampler's cross-engine determinism is separately
+hash-gated by the driver via the negative_edges_li DuckDB oracle.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bluegraph_spark.operators.linkpred import (
+    edge_feature_scores,
+    edge_features,
+    generate_negative_edges,
+    node_index,
+)
+
+
+@pytest.fixture(scope="module")
+def small_edges(spark):
+    rows = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "a")]
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def test_node_index_is_global_rank(spark):
+    ids = ["m", "a", "z", "k", "b"]
+    df = spark.createDataFrame([(i,) for i in ids], "id string")
+    got = {r["id"]: r["idx"] for r in node_index(df, partitions=3).collect()}
+    want = {v: i for i, v in enumerate(sorted(ids))}
+    assert got == want
+
+
+def test_negative_edges_are_non_edges(spark, small_edges):
+    neg = generate_negative_edges(small_edges, p=1.0, seed=7).collect()
+    existing = {(r["src"], r["dst"]) for r in small_edges.collect()}
+    got = {(r["src"], r["dst"]) for r in neg}
+    assert got, "sampler returned nothing"
+    assert not (got & existing)
+    assert all(s != t for s, t in got)
+    # default n = |E| * p = 6
+    assert len(got) <= 6
+
+
+def test_negative_edges_undirected_excludes_reversed(spark, small_edges):
+    neg = generate_negative_edges(
+        small_edges, p=1.0, seed=7, directed=False, oversample=10.0
+    ).collect()
+    existing = {(r["src"], r["dst"]) for r in small_edges.collect()}
+    existing |= {(d, s) for s, d in existing}
+    got = {(r["src"], r["dst"]) for r in neg}
+    assert got and not (got & existing)
+
+
+def test_negative_edges_deterministic(spark, small_edges):
+    a = sorted(map(tuple, generate_negative_edges(small_edges, seed=3).collect()))
+    b = sorted(map(tuple, generate_negative_edges(small_edges, seed=3).collect()))
+    assert a == b
+    c = sorted(map(tuple, generate_negative_edges(small_edges, seed=4).collect()))
+    assert a != c  # different seed, different stream (w.h.p. on 5 nodes)
+
+
+def test_negative_edges_exclusion_set(spark, small_edges):
+    full = generate_negative_edges(small_edges, p=1.0, seed=7, oversample=10.0)
+    excl = full.limit(2).select("src", "dst")
+    excl_rows = {(r["src"], r["dst"]) for r in excl.collect()}
+    neg = generate_negative_edges(
+        small_edges, p=1.0, seed=7, oversample=10.0,
+        edges_to_exclude=spark.createDataFrame(
+            sorted(excl_rows), "src string, dst string"
+        ),
+    ).collect()
+    got = {(r["src"], r["dst"]) for r in neg}
+    assert not (got & excl_rows)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(6, 8)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(6)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        vecs.astype(np.float64),
+    )
+
+
+def test_edge_features_match_numpy(spark, emb):
+    df, vecs = emb
+    pairs = spark.createDataFrame([(0, 1), (2, 5)], "src long, dst long")
+    out = {
+        (r["src"], r["dst"]): r
+        for r in edge_features(pairs, df).collect()
+    }
+    for s, d in [(0, 1), (2, 5)]:
+        u, v = vecs[s], vecs[d]
+        r = out[(s, d)]
+        np.testing.assert_allclose(r["hadamard"], u * v, rtol=1e-12)
+        np.testing.assert_allclose(r["l1"], np.abs(u - v), rtol=1e-12)
+        np.testing.assert_allclose(r["l2"], (u - v) ** 2, rtol=1e-12)
+        np.testing.assert_allclose(r["average"], (u + v) / 2.0, rtol=1e-12)
+
+
+def test_edge_feature_scores_match_numpy(spark, emb):
+    df, vecs = emb
+    pairs = spark.createDataFrame([(1, 4)], "src long, dst long")
+    r = edge_feature_scores(pairs, df, round_to=None).collect()[0]
+    u, v = vecs[1], vecs[4]
+    assert r["dot"] == pytest.approx(float(np.dot(u, v)), rel=1e-12)
+    assert r["l1_dist"] == pytest.approx(float(np.abs(u - v).sum()), rel=1e-12)
+    assert r["l2_sq"] == pytest.approx(float(((u - v) ** 2).sum()), rel=1e-12)
+    assert r["avg_sum"] == pytest.approx(float(((u + v) / 2).sum()), rel=1e-12)
+
+
+def test_edge_features_unknown_operator_raises(spark, emb):
+    df, _ = emb
+    pairs = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="unknown binary operators"):
+        edge_features(pairs, df, operators=("hadamard", "nope"))
