@@ -806,6 +806,10 @@ def main() -> None:
             "scaling_efficiency": scaling["scaling_efficiency"],
             "normalized_efficiency": scaling["normalized_efficiency"],
             "cpu_ceiling": scaling["cpu_ceiling_efficiency"],
+            "mem_bandwidth_ceiling": scaling.get("mem_bandwidth_ceiling"),
+            "bandwidth_normalized_efficiency": scaling.get(
+                "bandwidth_normalized_efficiency"
+            ),
             "superstep_exchanges_steady_state": scaling["high"]["reps"][0][
                 "superstep_exchanges"
             ],
