@@ -168,34 +168,46 @@ def minimum_spanning_forest(
             .alias("t"),
         )
         two = ptr.select(F.col("c").alias("t"), F.col("t").alias("tt"))
-        parent_cp = parent = stats_safe_local_checkpoint(
-            ptr.join(two, "t", "left").select(
-                "c",
-                F.when(
-                    (F.col("tt") == F.col("c")) & (F.col("c") < F.col("t")),
-                    F.col("c"),
-                )
-                .otherwise(F.col("t"))
-                .alias("p"),
+        parent = ptr.join(two, "t", "left").select(
+            "c",
+            F.when(
+                (F.col("tt") == F.col("c")) & (F.col("c") < F.col("t")),
+                F.col("c"),
             )
+            .otherwise(F.col("t"))
+            .alias("p"),
         )
-        for _ in range(64):  # ≥ log2 of any cluster chain; loop exits early
-            gp = parent.select(F.col("c").alias("p"), F.col("p").alias("gp"))
-            nxt = (
-                parent.join(gp, "p", "left")
-                .select(
-                    "c",
-                    F.coalesce("gp", "p").alias("p"),
-                    (F.coalesce("gp", "p") != F.col("p")).alias("_ch"),
-                )
+
+        def _square(rel: DataFrame) -> DataFrame:
+            gp = rel.select(F.col("c").alias("p"), F.col("p").alias("gp"))
+            return rel.join(gp, "p", "left").select(
+                "c", F.coalesce("gp", "p").alias("p")
+            )
+
+        # Two squarings per materialized job (the pointer table is tiny —
+        # bounded by the live component count — so at suite scale the
+        # per-job floor dominates, and tripling the joins inside one job to
+        # halve the job count is a straight win; the extra joins read the
+        # round's sel checkpoint, nothing upstream re-executes). The first
+        # job also folds the 2-cycle rooting join in. Exit when the SECOND
+        # squaring changed nothing: g2 == g1 means the mapping is idempotent
+        # under jumping, i.e. fully rooted — and g2 is what we keep.
+        parent_cp: DataFrame | None = None
+        for _ in range(32):  # ≥ log4 of any cluster chain; loop exits early
+            g1 = _square(parent)
+            g1b = g1.select(F.col("c").alias("p"), F.col("p").alias("gp"))
+            g2 = g1.join(g1b, "p", "left").select(
+                "c",
+                F.coalesce("gp", "p").alias("p"),
+                (F.coalesce("gp", "p") != F.col("p")).alias("_ch"),
             )
             obs = Observation(f"mst_jump_{rnd}_{time.time_ns()}")
-            nxt = nxt.observe(obs, F.sum(F.col("_ch").cast("long")).alias("ch"))
-            nxt = stats_safe_local_checkpoint(nxt)
+            g2 = g2.observe(obs, F.sum(F.col("_ch").cast("long")).alias("ch"))
+            g2 = stats_safe_local_checkpoint(g2)
             changed = int(obs.get["ch"] or 0)
             release_local_checkpoint(parent_cp)
-            parent_cp = nxt
-            parent = nxt.select("c", "p")
+            parent_cp = g2
+            parent = g2.select("c", "p")
             if changed == 0:
                 break
         mapping = parent.select(F.col("c").alias("comp"), F.col("p").alias("_new"))
