@@ -72,13 +72,29 @@ def node_index(nodes: DataFrame, id_col: str = "id", partitions: int | None = No
     ``n_partitions`` counts). The result is partition-layout-invariant —
     idx is the global rank — so it hash-compares against a plain
     ``row_number() OVER (ORDER BY id) - 1`` oracle.
+
+    The ranged layout is frozen with an eager ``localCheckpoint`` BEFORE
+    the counts are collected: ``repartitionByRange`` reservoir-samples its
+    range boundaries with a fresh seed on every execution, so without the
+    freeze the counts job and the later window job can see DIFFERENT
+    partitionings (empirically: three executions of the same ranged plan
+    gave three partition-size vectors on 21k ids), which would make the
+    driver offsets wrong — duplicate/missing idx values. After the freeze
+    both jobs read the same materialized blocks; the returned frame is
+    itself checkpointed so the intermediate blocks can be released here
+    rather than leaking until GC.
     """
+    from bluegraph_spark.plans.stats_guard import (
+        release_local_checkpoint,
+        stats_safe_local_checkpoint,
+    )
+
     spark = nodes.sparkSession
     n_parts = int(
         partitions or spark.conf.get("spark.sql.shuffle.partitions")
     )
     ids = nodes.select(F.col(id_col).alias("id")).distinct()
-    ranged = (
+    ranged = stats_safe_local_checkpoint(
         ids.repartitionByRange(n_parts, "id")
         .withColumn("_pid", F.spark_partition_id())
     )
@@ -92,13 +108,15 @@ def node_index(nodes: DataFrame, id_col: str = "id", partitions: int | None = No
         [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
     )
     w = Window.partitionBy("_pid").orderBy("id")
-    return (
+    out = stats_safe_local_checkpoint(
         ranged.join(F.broadcast(off_df), "_pid")
         .select(
             "id",
             (F.row_number().over(w) - 1 + F.col("_off")).alias("idx"),
         )
     )
+    release_local_checkpoint(ranged)
+    return out
 
 
 def generate_negative_edges(
@@ -121,60 +139,94 @@ def generate_negative_edges(
     (reference: ``existing_edges.update(reversed)``,
     link_prediction.py:63-65).
     """
+    from bluegraph_spark.plans.stats_guard import release_local_checkpoint
+
     e = edges.select(F.col("src"), F.col("dst"))
     if nodes is None:
         nodes = e.select(F.col("src").alias("id")).unionByName(
             e.select(F.col("dst").alias("id"))
         )
-    idx = node_index(nodes, id_col=nodes.columns[0]).persist()
+    idx = node_index(nodes, id_col=nodes.columns[0])  # eager, checkpointed
     V = idx.count()
     if n is None:
         n_excl = edges_to_exclude.count() if edges_to_exclude is not None else 0
         n = int((e.count() - n_excl) * p)
     if V < 2 or n <= 0:
-        idx.unpersist()
+        release_local_checkpoint(idx)
         return (
             e.select("src", "dst").limit(0).withColumn("gen_i", F.lit(0).cast("long"))
         )
-    m = int(n * oversample)
 
     spark = edges.sparkSession
-    cand = (
-        spark.range(m)
-        .select(
-            F.col("id").alias("gen_i"),
-            F.pmod(portable_hash(seed, F.col("id")), F.lit(V)).alias("_sidx"),
-            F.pmod(portable_hash(seed + 1, F.col("id")), F.lit(V)).alias("_didx"),
-        )
-        .filter(F.col("_sidx") != F.col("_didx"))
-    )
-    paired = (
-        cand.join(idx.select(F.col("idx").alias("_sidx"), F.col("id").alias("src")), "_sidx")
-        .join(idx.select(F.col("idx").alias("_didx"), F.col("id").alias("dst")), "_didx")
-        .select("src", "dst", "gen_i")
-    )
     existing = e
     if not directed:
         existing = existing.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-    out = paired.join(existing.select("src", "dst"), ["src", "dst"], "left_anti")
-    if edges_to_exclude is not None:
-        out = out.join(
-            edges_to_exclude.select("src", "dst"), ["src", "dst"], "left_anti"
+
+    def _first_n_survivors(m: int) -> DataFrame:
+        """First ``n`` non-edges by gen_i among candidates 0..m-1.
+
+        Because the candidate at index i depends only on (seed, i), a
+        larger m strictly EXTENDS the stream: the first-n-by-gen_i result
+        under m' > m agrees with the m result whenever the m result
+        already held n rows. So the retry loop below preserves the
+        deterministic semantic "first n survivors of the infinite seeded
+        stream" regardless of where it stops.
+        """
+        cand = (
+            spark.range(m)
+            .select(
+                F.col("id").alias("gen_i"),
+                F.pmod(portable_hash(seed, F.col("id")), F.lit(V)).alias("_sidx"),
+                F.pmod(portable_hash(seed + 1, F.col("id")), F.lit(V)).alias("_didx"),
+            )
+            .filter(F.col("_sidx") != F.col("_didx"))
         )
-    result = (
-        out.groupBy("src", "dst")
-        .agg(F.min("gen_i").alias("gen_i"))
-        .orderBy("gen_i")
-        .limit(n)
-    )
-    # The TakeOrdered output is tiny (≤ n rows) and fully determined; the
-    # index cache can go as soon as the result is materialized. Callers
-    # that keep the result lazy keep the cache alive via lineage — safe
-    # either way, so release on a materialized copy.
-    result = result.localCheckpoint()
-    idx.unpersist()
+        paired = (
+            cand.join(idx.select(F.col("idx").alias("_sidx"), F.col("id").alias("src")), "_sidx")
+            .join(idx.select(F.col("idx").alias("_didx"), F.col("id").alias("dst")), "_didx")
+            .select("src", "dst", "gen_i")
+        )
+        out = paired.join(existing.select("src", "dst"), ["src", "dst"], "left_anti")
+        if edges_to_exclude is not None:
+            out = out.join(
+                edges_to_exclude.select("src", "dst"), ["src", "dst"], "left_anti"
+            )
+        return (
+            out.groupBy("src", "dst")
+            .agg(F.min("gen_i").alias("gen_i"))
+            .orderBy("gen_i")
+            .limit(n)
+        )
+
+    # Retry toward the target count like the reference's while-loop
+    # (link_prediction.py:51-77), but deterministically: double the stream
+    # prefix until n survivors exist or the stream is clearly exhausted
+    # relative to the pair space (dense/small graphs may have < n
+    # non-edges at all — then we return what exists and warn).
+    m = max(1, int(n * oversample))
+    max_m = 16 * max(m, V * V)  # collisions make hashed coverage sublinear
+    while True:
+        # TakeOrdered output is tiny (≤ n rows) and fully determined;
+        # materialize so the count below doesn't recompute the anti-joins.
+        result = _first_n_survivors(m).localCheckpoint()
+        got = result.count()
+        if got >= n or m >= max_m:
+            break
+        release_local_checkpoint(result)
+        m *= 2
+    if got < n:
+        import warnings
+
+        warnings.warn(
+            f"generate_negative_edges: only {got} of the requested {n} "
+            f"negative edges exist/were reachable (candidate stream "
+            f"exhausted at m={m}, |V|={V}); the graph is too small or too "
+            "dense for the target count",
+            stacklevel=2,
+        )
+    release_local_checkpoint(idx)
     return result
 
 

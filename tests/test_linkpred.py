@@ -31,6 +31,58 @@ def test_node_index_is_global_rank(spark):
     assert got == want
 
 
+def test_node_index_stable_across_executions_at_sampling_scale(spark):
+    """The round-4 advice bug: repartitionByRange re-samples its range
+    boundaries per execution, so collecting partition counts in one job
+    and ranking in another could disagree. With 21k ids over 8 partitions
+    (~2.6k rows each — far past the ~300 where reservoir sampling
+    engages), the frozen index must equal the global rank on EVERY
+    re-execution of the returned frame."""
+    n = 21_000
+    ids = [f"id_{i:06d}" for i in range(n)]
+    df = spark.createDataFrame([(i,) for i in ids], "id string").repartition(16)
+    out = node_index(df, partitions=8)
+    want = {v: i for i, v in enumerate(sorted(ids))}
+    for _ in range(3):  # re-execute: the frozen frame may not drift
+        got = {r["id"]: r["idx"] for r in out.collect()}
+        assert got == want
+    # idx values must be a permutation of 0..n-1 (no dups/gaps) — the
+    # exact failure mode of mismatched offsets.
+    idxs = sorted(r["idx"] for r in out.collect())
+    assert idxs == list(range(n))
+
+
+def test_negative_edges_top_up_reaches_target_on_dense_graph(spark):
+    """A near-complete graph loses most candidates to existing-edge hits:
+    with oversample=1.0 the fixed stream prefix cannot cover the target,
+    so the deterministic doubling retry must extend the stream and still
+    return exactly n rows (advice r04: no silent shortfall)."""
+    nodes = [str(i) for i in range(12)]
+    non_edges = {("0", "5"), ("3", "9"), ("7", "2"), ("10", "4"), ("8", "11")}
+    all_pairs = [(s, t) for s in nodes for t in nodes if s != t]
+    edges = [p for p in all_pairs if p not in non_edges]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    neg = generate_negative_edges(e, n=5, seed=13, oversample=1.0)
+    got = {(r["src"], r["dst"]) for r in neg.collect()}
+    assert got == non_edges  # all 5 found despite the dense graph
+    # and the retry kept the first-n-survivors semantic: a run that
+    # starts with a huge prefix gives the identical rows
+    big = generate_negative_edges(e, n=5, seed=13, oversample=500.0)
+    assert sorted(map(tuple, neg.collect())) == sorted(map(tuple, big.collect()))
+
+
+def test_negative_edges_warns_when_target_unreachable(spark):
+    """More negatives requested than non-edges exist: return what exists
+    and warn instead of silently under-delivering."""
+    nodes = ["a", "b", "c"]
+    pairs = [(s, t) for s in nodes for t in nodes if s != t]
+    edges = [p for p in pairs if p != ("a", "b")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    with pytest.warns(UserWarning, match="negative edges exist"):
+        neg = generate_negative_edges(e, n=4, seed=1).collect()
+    assert {(r["src"], r["dst"]) for r in neg} == {("a", "b")}
+
+
 def test_negative_edges_are_non_edges(spark, small_edges):
     neg = generate_negative_edges(small_edges, p=1.0, seed=7).collect()
     existing = {(r["src"], r["dst"]) for r in small_edges.collect()}
