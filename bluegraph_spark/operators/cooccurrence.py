@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bluegraph_spark.functions.mi import mutual_information_col
+from bluegraph_spark.plans.planinfo import plan_has_python_stage
 
 STATISTICS = ("frequency", "ppmi", "npmi", "expected", "pmi2", "pmi3")
 
@@ -218,7 +219,7 @@ def cooccurrence_edges(
     salt: int | None = None,
     salt_threshold: int = DEFAULT_SALT_THRESHOLD,
     limit: int | None = None,
-    eager: bool = False,
+    eager: bool | None = None,
 ) -> DataFrame:
     """Build the co-occurrence edge table from a (node, factor) table.
 
@@ -232,7 +233,19 @@ def cooccurrence_edges(
     ``limit``: keep at most n edges — like the reference's early-exit limit
     (generators.py:238-243) the *choice* of edges is not deterministic.
 
-    ``eager`` (default False): return the fully lazy plan — no persist, no
+    ``eager=None`` (default) auto-detects: lazy unless the occurrence
+    plan contains a Python/Arrow evaluation stage (``applyInPandas`` /
+    ``mapInPandas`` / pandas UDF — the :func:`occurrences_from_aggregator`
+    hook), in which case it goes eager. A Python stage is the one upstream
+    cost the "re-scan beats persist" argument below never covers: the lazy
+    NPMI/frequency plan re-executes the occurrence expression on up to 5
+    branches, and re-running an Arrow-shuffled Python aggregator 5× is
+    pure loss at every scale (measured on the driver bench: the round-4
+    lazy flip regressed the aggregator query ~25% while speeding up every
+    pure-Catalyst one). The detection reads the ANALYZED logical plan —
+    no job runs.
+
+    ``eager=False``: return the fully lazy plan — no persist, no
     action; the total-factor count is folded in as a broadcast scalar. The
     lazy NPMI plan re-executes the occurrence expression on up to 5 plan
     branches (both self-join sides, the two marginal joins, the total-
@@ -259,6 +272,9 @@ def cooccurrence_edges(
     for s in statistics:
         if s not in STATISTICS:
             raise ValueError(f"unknown statistic {s!r}; supported: {STATISTICS}")
+
+    if eager is None:
+        eager = plan_has_python_stage(occ)
 
     occ = occ.select(
         F.col("node").cast("string").alias("node"),

@@ -25,6 +25,49 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+#: Logical-plan node / expression markers for every way Python code can
+#: appear in a DataFrame plan: group-map (applyInPandas), map-partitions
+#: (mapInPandas), cogroup, and scalar/aggregate (pandas_udf or plain udf,
+#: both of which print as ``...#N`` PythonUDF expressions inside a
+#: project/aggregate but always carry one of these node names or the
+#: literal "PythonUDF" in the analyzed tree's string form).
+_PYTHON_STAGE_MARKERS = (
+    "FlatMapGroupsInPandas",
+    "MapInPandas",
+    "FlatMapCoGroupsInPandas",
+    "MapInArrow",
+    "ArrowEvalPython",   # vectorized pandas_udf projection/aggregate
+    "BatchEvalPython",   # row-at-a-time Python UDF
+    "PythonUDF",
+    "PythonUDAF",
+)
+
+
+def plan_has_python_stage(df: DataFrame) -> bool:
+    """True if the frame's plan contains a Python evaluation stage.
+
+    Used as the auto-``eager`` discriminator in the co-occurrence builder:
+    a plan branch that re-executes a Python/Arrow stage pays the full
+    Python-worker round trip again, so sharing one materialized pass is
+    always right there — whereas re-scanning a columnar source is often
+    cheaper than persisting (measured both ways; see
+    ``cooccurrence_edges``'s docstring).
+
+    Checks the ANALYZED logical plan first (free; catches the named
+    InPandas/InArrow relational nodes). Scalar pandas/Python UDFs print
+    with the user function's name in the analyzed tree — no marker — so if
+    the logical scan is clean, fall back to the pre-AQE PHYSICAL plan,
+    where they surface as ``ArrowEvalPython`` / ``BatchEvalPython``
+    operators. Both inspections only plan, never run a job.
+    """
+    qe = df._jdf.queryExecution()
+    s = qe.analyzed().toString()
+    if any(m in s for m in _PYTHON_STAGE_MARKERS):
+        return True
+    s = qe.sparkPlan().toString()
+    return any(m in s for m in _PYTHON_STAGE_MARKERS)
+
+
 def executed_exchange_count(df: DataFrame) -> int:
     def walk(node) -> int:
         cls = node.getClass().getSimpleName()

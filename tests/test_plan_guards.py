@@ -77,3 +77,79 @@ def test_lpa_superstep_exchange_budget(graph, no_broadcast):
     assert "InMemoryTableScan" in res.superstep_plan
     plan = res.superstep_plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_plan_has_python_stage_detects_all_udf_shapes(spark):
+    """The auto-eager discriminator must see every way Python enters a plan
+    (group-map, map-partitions, vectorized scalar, row-at-a-time scalar)
+    and stay False on pure-Catalyst plans — a false negative re-runs an
+    Arrow aggregator on every edge-table branch (the round-4 driver-bench
+    regression on cooc_agg_suppliers); a false positive forces a pointless
+    persist on the hot pure-SQL path."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf, udf
+
+    from bluegraph_spark.plans.planinfo import plan_has_python_stage
+
+    df = spark.range(10).select(
+        F.col("id").cast("string").alias("node"), F.lit("f").alias("factor")
+    )
+    assert not plan_has_python_stage(df)
+    assert not plan_has_python_stage(
+        df.groupBy("node").agg(F.count("*").alias("c"))
+    )
+
+    def emit(key, pdf):
+        return pd.DataFrame({"node": [str(key[0])], "factor": ["x"]})
+
+    assert plan_has_python_stage(
+        df.groupBy("node").applyInPandas(emit, schema="node string, factor string")
+    )
+    assert plan_has_python_stage(
+        df.mapInPandas(lambda it: it, schema="node string, factor string")
+    )
+
+    @pandas_udf("string")
+    def up(s: pd.Series) -> pd.Series:
+        return s.str.upper()
+
+    assert plan_has_python_stage(df.select(up("node").alias("node"), "factor"))
+    assert plan_has_python_stage(
+        df.select(udf(lambda x: x, "string")("node").alias("node"), "factor")
+    )
+
+
+def test_cooccurrence_auto_eager_on_python_occurrence(spark):
+    """eager=None goes eager (localCheckpointed result — LogicalRDD plan,
+    single execution of the Python stage) for an applyInPandas occurrence
+    table, and stays lazy for a pure-Catalyst one."""
+    import pandas as pd
+
+    from bluegraph_spark.operators.cooccurrence import (
+        cooccurrence_edges,
+        occurrences_from_aggregator,
+    )
+
+    # range-based source so the only possible LogicalRDD root is an eager
+    # localCheckpoint (createDataFrame would itself be a LogicalRDD leaf)
+    df = spark.range(20).select(
+        F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias("node"),
+        F.concat(F.lit("f"), (F.col("id") % 5).cast("string")).alias("factor"),
+    )
+
+    lazy_edges = cooccurrence_edges(df, statistics=["frequency"])
+    assert "LogicalRDD" not in lazy_edges._jdf.queryExecution().analyzed().toString()
+
+    occ = occurrences_from_aggregator(df, "node", lambda pdf: set(pdf["factor"]))
+    eager_edges = cooccurrence_edges(occ, statistics=["frequency"])
+    assert (
+        eager_edges._jdf.queryExecution()
+        .analyzed()
+        .toString()
+        .strip()
+        .startswith("LogicalRDD")
+    )
+    # same result either way
+    a = sorted(map(tuple, lazy_edges.collect()))
+    b = sorted(map(tuple, eager_edges.collect()))
+    assert a == b
