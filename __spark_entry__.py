@@ -744,6 +744,31 @@ def q_edge_features_emb(spark, sf_dir):
     return edge_feature_scores(pairs, emb)
 
 
+FASTRP_DIM = 8
+FASTRP_SEED = 42
+FASTRP_WEIGHTS = (1.0, 0.5)
+
+
+def q_fastrp_parts(spark, sf_dir):
+    """FastRP node embeddings (deterministic very-sparse random projection,
+    Chen et al. CIKM'19 — the Spark-first replacement for the reference's
+    transductive node embedders, core/embed/embedders.py:49-247) on the
+    parts frequency graph: dim=8, two propagation iterations weighted
+    (1.0, 0.5), per-iteration L2 normalization quantized to 12 decimals
+    (the cross-engine contract — see operators/embeddings.py). Long form
+    (id, dim, value) rounded to 6 so the DuckDB replica hash-matches."""
+    from bluegraph_spark.operators.embeddings import fastrp_embeddings_long
+
+    lg = fastrp_embeddings_long(
+        _part_edges(spark, sf_dir),
+        dim=FASTRP_DIM,
+        iteration_weights=FASTRP_WEIGHTS,
+        weight_col="frequency",
+        seed=FASTRP_SEED,
+    )
+    return lg.select("id", "dim", F.round("value", 6).alias("value"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: part co-occurrence graph at sf0.001 → weighted PageRank to
     convergence → scores joined with degree."""
@@ -805,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_suppliers": q_louvain_suppliers,
         "sssp_parts": q_sssp_parts,
         "mst_suppliers": q_mst_suppliers,
+        "fastrp_parts": q_fastrp_parts,
         "dedup_incremental_docs": q_dedup_incremental_docs,
         "negative_edges_li": q_negative_edges_li,
         "edge_features_emb": q_edge_features_emb,
@@ -1713,6 +1739,68 @@ d{r} AS (
     return "".join(pieces)
 
 
+def _fastrp_sql(
+    dim: int = FASTRP_DIM,
+    seed: int = FASTRP_SEED,
+    weights: tuple = FASTRP_WEIGHTS,
+) -> str:
+    """Exact SQL replica of the engine's FastRP: same md5 sparse-sign
+    init, same weighted-mean propagation, same per-iteration L2
+    normalization rounded to 12 decimals (the quantization IS the
+    cross-engine contract), iterations unrolled as CTEs."""
+    pieces = [
+        f"WITH {_PART_OCC}, {_PART_PAIRS},",
+        f"""
+sym AS (
+  SELECT src, dst, CAST(frequency AS DOUBLE) AS w FROM pairs
+  UNION ALL
+  SELECT dst, src, CAST(frequency AS DOUBLE) FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+dims AS (SELECT j::INT AS j FROM range(0, {dim}) t(j)),
+e0r AS (
+  SELECT id, j,
+    CASE ((('0x' || substr(md5('{seed}:' || id || ':' || j), 1, 15))::BIGINT) % 6)
+      WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 ELSE 0.0 END AS v
+  FROM nodes CROSS JOIN dims
+),
+it0 AS (
+  SELECT id, j, CASE WHEN nrm > 0 THEN ROUND(v / nrm, 12) ELSE v END AS v
+  FROM (SELECT *, sqrt(sum(v*v) OVER (PARTITION BY id)) AS nrm FROM e0r)
+)""",
+    ]
+    for k in range(1, len(weights) + 1):
+        pieces.append(
+            f""",
+it{k}r AS (
+  SELECT e.dst AS id, c.j, sum(c.v * e.w) / sum(e.w) AS v
+  FROM sym e JOIN it{k - 1} c ON c.id = e.src GROUP BY 1, 2
+),
+it{k}f AS (
+  SELECT n.id, d.j, coalesce(r.v, 0.0) AS v
+  FROM nodes n CROSS JOIN dims d
+  LEFT JOIN it{k}r r ON r.id = n.id AND r.j = d.j
+),
+it{k} AS (
+  SELECT id, j, CASE WHEN nrm > 0 THEN ROUND(v / nrm, 12) ELSE v END AS v
+  FROM (SELECT *, sqrt(sum(v*v) OVER (PARTITION BY id)) AS nrm FROM it{k}f)
+)"""
+        )
+    terms = " + ".join(
+        f"{w} * it{k + 1}.v" for k, w in enumerate(weights)
+    )
+    joins = "".join(
+        f" JOIN it{k} ON it{k}.id = it1.id AND it{k}.j = it1.j"
+        for k in range(2, len(weights) + 1)
+    )
+    pieces.append(
+        f"""
+SELECT it1.id, it1.j AS dim, ROUND({terms}, 6) AS value
+FROM it1{joins}"""
+    )
+    return "".join(pieces)
+
+
 def _mst_oracle_sql(sf_dir: str | None = None) -> str:
     """Independent Kruskal over the same NPMI-distance supplier edges,
     emitted as literal rows (the IVF-codebook technique: data-dependent
@@ -2014,6 +2102,7 @@ WHERE c.src IS NOT NULL
         "louvain_suppliers": _louvain_sql(),
         "sssp_parts": _sssp_sql(),
         "mst_suppliers": _mst_oracle_sql(),
+        "fastrp_parts": _fastrp_sql(),
         "dedup_incremental_docs": _minhash_incremental_sql(),
         "user_top_events": """
 WITH agg AS (
