@@ -616,6 +616,8 @@ def q_subgraph_orders(spark, sf_dir):
 
 LOUVAIN_ROUNDS = 4
 SSSP_ROUNDS = 8
+KSSP_ROUNDS = 6
+KSSP_K = 3
 
 
 def q_louvain_suppliers(spark, sf_dir):
@@ -744,6 +746,30 @@ def q_edge_features_emb(spark, sf_dir):
     return edge_feature_scores(pairs, emb)
 
 
+def q_kshortest_parts(spark, sf_dir):
+    """k smallest distinct walk lengths from part '1' to every vertex
+    (k=3) — the distributed analogue of the reference's n_shortest_paths
+    (core/analyse/paths.py:217-298; exact simple-path enumeration lives in
+    the gated path_bridge). Fixed 6 relaxation rounds: per-round states
+    are provably identical between the engine's frontier form and the
+    oracle's full relaxation (a vertex's top-k label set only improves,
+    so once-trimmed candidates stay trimmed). Integer frequency weights
+    keep walk sums and DISTINCT exact."""
+    from bluegraph_spark.operators.paths import k_shortest_distances
+
+    res = k_shortest_distances(
+        _part_edges(spark, sf_dir),
+        source="1",
+        k=KSSP_K,
+        weight_col="frequency",
+        max_iter=KSSP_ROUNDS,
+    )
+    return res.distances.select(
+        "id", F.col("rank").cast("int").alias("rank"),
+        F.col("dist").cast("double").alias("dist"),
+    )
+
+
 FASTRP_DIM = 8
 FASTRP_SEED = 42
 FASTRP_WEIGHTS = (1.0, 0.5)
@@ -831,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_parts": q_sssp_parts,
         "mst_suppliers": q_mst_suppliers,
         "fastrp_parts": q_fastrp_parts,
+        "kshortest_parts": q_kshortest_parts,
         "dedup_incremental_docs": q_dedup_incremental_docs,
         "negative_edges_li": q_negative_edges_li,
         "edge_features_emb": q_edge_features_emb,
@@ -1739,6 +1766,48 @@ d{r} AS (
     return "".join(pieces)
 
 
+def _kssp_sql(rounds: int = KSSP_ROUNDS, k: int = KSSP_K) -> str:
+    """Unrolled k-label Bellman-Ford from part '1': each round unions the
+    previous label set with its one-edge relaxations, dedupes by value,
+    and keeps the k smallest distinct labels per vertex — identical
+    per-round states to the engine's frontier form (see q_kshortest_parts)."""
+    pieces = [
+        f"WITH {_PART_OCC}, {_PART_PAIRS},",
+        """
+sym AS (
+  SELECT src, dst, CAST(frequency AS DOUBLE) AS w FROM pairs
+  UNION ALL
+  SELECT dst, src, CAST(frequency AS DOUBLE) FROM pairs
+),
+d0 AS (SELECT CAST('1' AS VARCHAR) AS id, CAST(0 AS DOUBLE) AS dist)""",
+    ]
+    for r in range(1, rounds + 1):
+        pieces.append(
+            f""",
+d{r} AS (
+  SELECT id, dist FROM (
+    SELECT id, dist,
+           row_number() OVER (PARTITION BY id ORDER BY dist) AS rk
+    FROM (
+      SELECT DISTINCT id, dist FROM (
+        SELECT id, dist FROM d{r - 1}
+        UNION ALL
+        SELECT e.dst AS id, d.dist + e.w AS dist
+        FROM sym e JOIN d{r - 1} d ON d.id = e.src
+      )
+    )
+  ) WHERE rk <= {k}
+)"""
+        )
+    pieces.append(
+        f"""
+SELECT id, CAST(row_number() OVER (PARTITION BY id ORDER BY dist) AS INT) AS rank,
+       dist
+FROM d{rounds}"""
+    )
+    return "".join(pieces)
+
+
 def _fastrp_sql(
     dim: int = FASTRP_DIM,
     seed: int = FASTRP_SEED,
@@ -2103,6 +2172,7 @@ WHERE c.src IS NOT NULL
         "sssp_parts": _sssp_sql(),
         "mst_suppliers": _mst_oracle_sql(),
         "fastrp_parts": _fastrp_sql(),
+        "kshortest_parts": _kssp_sql(),
         "dedup_incremental_docs": _minhash_incremental_sql(),
         "user_top_events": """
 WITH agg AS (

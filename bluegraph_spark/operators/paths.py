@@ -193,3 +193,142 @@ def shortest_paths(
         csr.unpersist()
 
     return SSSPResult(rebind(dist, caller), it, converged, history)
+
+
+@dataclass
+class KShortestResult:
+    """Result of :func:`k_shortest_distances`."""
+
+    distances: DataFrame  # (id, rank int, dist double), rank 1..k per id
+    iterations: int
+    converged: bool
+    history: list[dict[str, Any]] = field(default_factory=list)
+
+
+def k_shortest_distances(
+    edges: DataFrame,
+    source,
+    k: int = 3,
+    weight_col: str | None = None,
+    directed: bool = False,
+    max_iter: int = 50,
+    partitions: int | None = None,
+) -> KShortestResult:
+    """k smallest DISTINCT walk lengths from ``source`` to every vertex.
+
+    The scalable analogue of the reference's ``n_shortest_paths``
+    (/root/reference/bluegraph/core/analyse/paths.py:217-298): where the
+    reference enumerates k shortest SIMPLE paths for one (source, target)
+    pair in-process (Yen's algorithm / ranked all-shortest-paths), this
+    operator computes, for EVERY vertex at once, the k smallest distinct
+    total weights over all walks from the source — the multi-label
+    generalization of Bellman-Ford (each vertex keeps its k best labels;
+    k = 1 degenerates to :func:`shortest_paths`). Distinct-value semantics
+    (duplicate walk lengths collapse) keep the label set canonical and the
+    fixpoint independent of relaxation order, which is what makes the
+    result deterministic, partitioning-invariant, and expressible as an
+    unrolled SQL recurrence for the differential oracle. For exact
+    simple-path enumeration semantics on small graphs, use
+    ``path_bridge.n_shortest_paths`` (the size-gated driver bridge).
+
+    Correctness of per-vertex top-k truncation: a successor's k best
+    distinct distances through vertex u are a monotone image (+w) of u's
+    OWN k best distinct distances, so labels trimmed beyond rank k at u
+    can never contribute a top-k label downstream — truncation is
+    lossless. Frontier optimization: only labels that ENTERED a vertex's
+    top-k set this round are relaxed next round; every label already
+    relaxed when it first entered keeps its extensions in the state.
+
+    Weights must be strictly positive for walk semantics to terminate
+    (with zero-weight cycles the distinct-length fixpoint still exists and
+    the iteration still converges, since distinctness bounds labels at k).
+
+    Scale shape: identical loop discipline to :func:`shortest_paths` —
+    CSR-blocked cached edges that never move; per round the (≤ kV)-row
+    label state shuffles twice (join on src, window on id); AQE and
+    shuffle width frozen on a private loop session; stats-guarded
+    localCheckpoints with deterministic block release.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    caller = edges.sparkSession
+    spark = loop_session(caller)
+    edges = rebind(edges, spark)
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    e = edges.select(F.col("src"), F.col("dst"), w.alias("w"))
+    if not directed:
+        e = symmetrize_edges(e)
+    e = e.filter(F.col("src") != F.col("dst")).persist()
+    n_edges = e.count()
+    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = (
+        int(partitions)
+        if partitions
+        else max(1, min(conf_parts, (n_edges // 250_000) + 1))
+    )
+    csr = e.repartition(n_parts, "src").sortWithinPartitions("src").persist()
+    csr.count()
+    e.unpersist()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+
+    id_type = dict(csr.dtypes)["src"]
+    state = spark.createDataFrame([(source,)], f"id {id_type}").select(
+        "id", F.lit(0.0).alias("dist")
+    )
+    state = state.repartition(n_parts, "id").localCheckpoint()
+    frontier = state
+    prev_cp = state
+    rk = F.row_number().over(Window.partitionBy("id").orderBy("dist"))
+
+    history: list[dict[str, Any]] = []
+    converged = False
+    it = 0
+    try:
+        while it < max_iter:
+            it += 1
+            t0 = time.time()
+            cand = csr.join(
+                frontier.select(F.col("id").alias("src"), "dist"), "src"
+            ).select(
+                F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist")
+            )
+            # old labels tagged so the frontier (labels NEW in the top-k
+            # set) falls out of the same window pass
+            merged = (
+                state.withColumn("_old", F.lit(True))
+                .unionByName(cand.withColumn("_old", F.lit(False)))
+                .groupBy("id", "dist")
+                .agg(F.max("_old").alias("_old"))
+                .withColumn("_rk", rk)
+                .filter(F.col("_rk") <= k)
+            )
+            obs = Observation(f"kssp_iter_{it}_{time.time_ns()}")
+            merged = merged.observe(
+                obs,
+                F.sum((~F.col("_old")).cast("long")).alias("new_labels"),
+                F.count(F.lit(1)).alias("labels"),
+            )
+            merged = stats_safe_local_checkpoint(merged)
+            m = obs.get
+            release_local_checkpoint(prev_cp)
+            prev_cp = merged
+            new_labels = int(m["new_labels"] or 0)
+            history.append(
+                {
+                    "iteration": it,
+                    "superstep_sec": round(time.time() - t0, 3),
+                    "new_labels": new_labels,
+                    "labels": int(m["labels"]),
+                }
+            )
+            frontier = merged.filter(~F.col("_old")).select("id", "dist")
+            state = merged.select("id", "dist")
+            if new_labels == 0:
+                converged = True
+                break
+    finally:
+        csr.unpersist()
+
+    out = state.withColumn("rank", rk.cast("int")).select("id", "rank", "dist")
+    return KShortestResult(rebind(out, caller), it, converged, history)
