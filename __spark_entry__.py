@@ -746,6 +746,47 @@ def q_edge_features_emb(spark, sf_dir):
     return edge_feature_scores(pairs, emb)
 
 
+LP_LR = 0.5
+LP_ITERS = 15
+
+
+def q_lp_predict_emb(spark, sf_dir):
+    """Full link-prediction pipeline, classifier half included: the
+    reference's EdgePredictor.fit/predict (downstream/link_prediction.py:
+    107-151 over ElementClassifier, data_structures.py:21-81) re-expressed
+    as in-engine quantized-GD logistic regression (no sklearn, no driver
+    feature matrix). Edge features = the four binary-operator scalar
+    reductions over embedding pairs; positives are consecutive-id pairs,
+    negatives are id+5 pairs (deterministic synthetic labels — the gate
+    checks the MACHINERY: standardization, 15 GD steps quantized to 12
+    decimals, scoring). Output scores round to 4 decimals, so the ≤1e-10
+    cross-engine GD divergence can never flip the hash."""
+    from bluegraph_spark.operators.linkpred import (
+        edge_feature_scores,
+        fit_edge_predictor,
+        predict_edges,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        F.col("vec_id").alias("src"), (F.col("vec_id") + 1).alias("dst")
+    ).withColumn("y", F.lit(1))
+    neg = emb.select(
+        F.col("vec_id").alias("src"), (F.col("vec_id") + 5).alias("dst")
+    ).withColumn("y", F.lit(0))
+    pairs = pos.unionByName(neg)
+    feats = edge_feature_scores(
+        pairs.select("src", "dst"), emb
+    ).join(pairs, ["src", "dst"])
+    fcols = ["dot", "l1_dist", "l2_sq", "avg_sum"]
+    model = fit_edge_predictor(
+        feats, "y", fcols, lr=LP_LR, iterations=LP_ITERS
+    )
+    return predict_edges(feats, model).select(
+        "src", "dst", F.col("y").cast("int").alias("y"), "score", "pred"
+    )
+
+
 def q_kshortest_parts(spark, sf_dir):
     """k smallest distinct walk lengths from part '1' to every vertex
     (k=3) — the distributed analogue of the reference's n_shortest_paths
@@ -858,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mst_suppliers": q_mst_suppliers,
         "fastrp_parts": q_fastrp_parts,
         "kshortest_parts": q_kshortest_parts,
+        "lp_predict_emb": q_lp_predict_emb,
         "dedup_incremental_docs": q_dedup_incremental_docs,
         "negative_edges_li": q_negative_edges_li,
         "edge_features_emb": q_edge_features_emb,
@@ -1766,6 +1808,100 @@ d{r} AS (
     return "".join(pieces)
 
 
+def _lp_sql(lr: float = LP_LR, iters: int = LP_ITERS) -> str:
+    """Self-contained SQL replica of the quantized-GD logistic regression:
+    feature reductions (the proven edge_features list_reduce construction),
+    explicit-formula standardization, ``iters`` unrolled gradient/weight
+    CTE pairs with every aggregate and weight rounded to 12 decimals (the
+    engine's cross-engine contract), and final scoring rounded to 4."""
+    fcols = ["dot", "l1_dist", "l2_sq", "avg_sum"]
+    reduce_exprs = {
+        "dot": "u[i] * w[i]",
+        "l1_dist": "abs(u[i] - w[i])",
+        "l2_sq": "(u[i] - w[i]) * (u[i] - w[i])",
+        "avg_sum": "(u[i] + w[i]) / 2.0",
+    }
+    feat_cols = ",\n  ".join(
+        f"round(list_reduce(list_transform(generate_series(1, len(u)), "
+        f"i -> {expr}), (a, b) -> a + b), 6) AS {c}"
+        for c, expr in reduce_exprs.items()
+    )
+    m_cols = ", ".join(
+        f"round(avg({c}), 12) AS m{i}, round(avg({c}*{c}), 12) AS q{i}"
+        for i, c in enumerate(fcols)
+    )
+    s_cols = ", ".join(
+        f"m{i}, CASE WHEN q{i} - m{i}*m{i} > 0 "
+        f"THEN round(sqrt(q{i} - m{i}*m{i}), 12) ELSE 1.0 END AS s{i}"
+        for i in range(len(fcols))
+    )
+    sf_cols = ", ".join(
+        f"round(({c} - m{i}) / s{i}, 12) AS f{i}"
+        for i, c in enumerate(fcols)
+    )
+    zlin = " + ".join(f"w{i} * f{i}" for i in range(len(fcols)))
+    pieces = [
+        f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+prs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, 1 AS y, a.v AS u, b.v AS w
+  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+  UNION ALL
+  SELECT a.vec_id, b.vec_id, 0, a.v, b.v
+  FROM e a JOIN e b ON b.vec_id = a.vec_id + 5
+),
+feat AS MATERIALIZED (
+  SELECT src, dst, y,
+  {feat_cols}
+  FROM prs
+),
+st AS (SELECT {m_cols} FROM feat),
+sd AS (SELECT {s_cols} FROM st),
+sf AS MATERIALIZED (SELECT y, {sf_cols} FROM feat CROSS JOIN sd),
+it0 AS (SELECT 0.0 AS b, {', '.join(f'0.0 AS w{i}' for i in range(len(fcols)))})"""
+    ]
+    g_cols = ", ".join(
+        f"round(avg((sig - y) * f{i}), 12) AS g{i}"
+        for i in range(len(fcols))
+    )
+    w_cols = ", ".join(
+        f"round(w.w{i} - {lr} * g.g{i}, 12) AS w{i}"
+        for i in range(len(fcols))
+    )
+    for t in range(1, iters + 1):
+        pieces.append(
+            f""",
+g{t} AS MATERIALIZED (
+  SELECT round(avg(sig - y), 12) AS gb, {g_cols}
+  FROM (SELECT y, {', '.join(f'f{i}' for i in range(len(fcols)))},
+               1.0 / (1.0 + exp(-(b + {zlin}))) AS sig
+        FROM sf CROSS JOIN it{t - 1})
+),
+it{t} AS MATERIALIZED (
+  SELECT round(w.b - {lr} * g.gb, 12) AS b, {w_cols}
+  FROM it{t - 1} w CROSS JOIN g{t} g
+)"""
+        )
+    # predict_edges standardizes WITHOUT the fit-path's round-12 (the
+    # round-4 output makes the distinction unobservable; mirror it anyway)
+    zfin = " + ".join(
+        f"w{i} * (({c} - m{i}) / s{i})" for i, c in enumerate(fcols)
+    )
+    pieces.append(
+        f"""
+SELECT src, dst, CAST(y AS INT) AS y, round(sig, 4) AS score,
+       CASE WHEN round(sig, 4) >= 0.5 THEN 1 ELSE 0 END AS pred
+FROM (
+  SELECT src, dst, y, 1.0 / (1.0 + exp(-(b + {zfin}))) AS sig
+  FROM feat CROSS JOIN sd CROSS JOIN it{iters}
+)"""
+    )
+    return "".join(pieces)
+
+
 def _kssp_sql(rounds: int = KSSP_ROUNDS, k: int = KSSP_K) -> str:
     """Unrolled k-label Bellman-Ford from part '1': each round unions the
     previous label set with its one-edge relaxations, dedupes by value,
@@ -2173,6 +2309,7 @@ WHERE c.src IS NOT NULL
         "mst_suppliers": _mst_oracle_sql(),
         "fastrp_parts": _fastrp_sql(),
         "kshortest_parts": _kssp_sql(),
+        "lp_predict_emb": _lp_sql(),
         "dedup_incremental_docs": _minhash_incremental_sql(),
         "user_top_events": """
 WITH agg AS (

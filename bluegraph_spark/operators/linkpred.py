@@ -41,6 +41,10 @@ Scale design:
 
 from __future__ import annotations
 
+import math
+from dataclasses import dataclass
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -296,4 +300,156 @@ def edge_feature_scores(
         _sum("l1").alias("l1_dist"),
         _sum("l2").alias("l2_sq"),
         _sum("average").alias("avg_sum"),
+    )
+
+
+@dataclass
+class EdgePredictorModel:
+    """Fitted in-engine logistic edge predictor.
+
+    The reference's ``EdgePredictor`` (downstream/link_prediction.py:107-151
+    over ElementClassifier.fit/predict, data_structures.py:21-81) wraps an
+    arbitrary sklearn estimator around driver-resident feature matrices.
+    This engine's model is logistic regression fit by full-batch gradient
+    descent computed as DataFrame aggregations — distributed, deterministic
+    (every gradient and weight is quantized to ``quantize`` decimals, so
+    the trajectory is independent of partitioning and reproducible in
+    ANSI SQL), and free of driver-side data collection: the driver only
+    ever sees the (p+1)-element gradient vector per iteration.
+    """
+
+    feature_cols: list[str]
+    intercept: float
+    weights: list[float]
+    means: list[float]
+    stds: list[float]
+    iterations: int
+    history: list[dict]
+
+
+def fit_edge_predictor(
+    features: DataFrame,
+    label_col: str,
+    feature_cols: Sequence[str],
+    lr: float = 0.5,
+    iterations: int = 20,
+    quantize: int = 12,
+) -> EdgePredictorModel:
+    """Fit logistic regression on an edge-feature table, distributed.
+
+    Features are standardized with the explicit population formula
+    ``(x - mean) / sqrt(avg(x²) - avg(x)²)`` (constant columns pass
+    through unscaled), then full-batch GD runs ``iterations`` steps of
+    ``w ← round(w - lr · round(avg((σ(z) - y) · x), q), q)``. One
+    aggregation job per iteration; state on the driver is p+1 floats.
+
+    The per-step rounding to ``quantize`` decimals is the cross-engine /
+    cross-partitioning contract (same role as FastRP's): it absorbs both
+    summation-order differences in the distributed average and the ≤1-ulp
+    disagreement between ``java.lang.Math.exp`` and libm ``exp``.
+    """
+    fcols = list(feature_cols)
+    y = F.col(label_col).cast("double")
+    base = features.select(
+        y.alias("_y"), *[F.col(c).cast("double").alias(c) for c in fcols]
+    )
+
+    stats = base.agg(
+        *[F.round(F.avg(c), quantize).alias(f"_m_{c}") for c in fcols],
+        *[
+            F.round(F.avg(F.col(c) * F.col(c)), quantize).alias(f"_q_{c}")
+            for c in fcols
+        ],
+    ).first()
+    means, stds = [], []
+    for c in fcols:
+        m = float(stats[f"_m_{c}"])
+        var = float(stats[f"_q_{c}"]) - m * m
+        s = round(math.sqrt(var), quantize) if var > 0 else 1.0
+        means.append(m)
+        stds.append(s if s > 0 else 1.0)
+
+    std = base.select(
+        "_y",
+        *[
+            F.round((F.col(c) - F.lit(means[i])) / F.lit(stds[i]), quantize).alias(c)
+            for i, c in enumerate(fcols)
+        ],
+    ).persist()
+    std.count()
+
+    b = 0.0
+    w = [0.0] * len(fcols)
+    history: list[dict] = []
+    try:
+        for it in range(1, iterations + 1):
+            z = F.lit(b)
+            for i, c in enumerate(fcols):
+                z = z + F.lit(w[i]) * F.col(c)
+            sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            err = sig - F.col("_y")
+            row = std.agg(
+                F.round(F.avg(err), quantize).alias("_gb"),
+                *[
+                    F.round(F.avg(err * F.col(c)), quantize).alias(f"_g_{c}")
+                    for c in fcols
+                ],
+                F.round(
+                    F.avg(
+                        -(
+                            F.col("_y") * F.log(F.greatest(sig, F.lit(1e-15)))
+                            + (F.lit(1.0) - F.col("_y"))
+                            * F.log(
+                                F.greatest(F.lit(1.0) - sig, F.lit(1e-15))
+                            )
+                        )
+                    ),
+                    quantize,
+                ).alias("_loss"),
+            ).first()
+            b = round(b - lr * float(row["_gb"]), quantize)
+            w = [
+                round(w[i] - lr * float(row[f"_g_{c}"]), quantize)
+                for i, c in enumerate(fcols)
+            ]
+            history.append({"iteration": it, "loss": float(row["_loss"])})
+    finally:
+        std.unpersist()
+
+    return EdgePredictorModel(
+        feature_cols=fcols,
+        intercept=b,
+        weights=w,
+        means=means,
+        stds=stds,
+        iterations=iterations,
+        history=history,
+    )
+
+
+def predict_edges(
+    features: DataFrame,
+    model: EdgePredictorModel,
+    threshold: float = 0.5,
+    score_round: int | None = 4,
+) -> DataFrame:
+    """Score edges with a fitted :class:`EdgePredictorModel`.
+
+    Appends ``score`` (σ of the standardized linear term, rounded to
+    ``score_round`` — coarse enough that the ≤1e-10 cross-engine GD
+    divergence can never flip a hash compare) and ``pred`` (score ≥
+    threshold as int, the reference's ``predict`` labels).
+    """
+    z = F.lit(model.intercept)
+    for i, c in enumerate(model.feature_cols):
+        z = z + F.lit(model.weights[i]) * (
+            (F.col(c).cast("double") - F.lit(model.means[i]))
+            / F.lit(model.stds[i])
+        )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    out = features.withColumn(
+        "score", F.round(score, score_round) if score_round else score
+    )
+    return out.withColumn(
+        "pred", (F.col("score") >= F.lit(threshold)).cast("int")
     )
