@@ -748,6 +748,27 @@ def q_edge_features_emb(spark, sf_dir):
 
 LP_LR = 0.5
 LP_ITERS = 15
+HIER_K = 5
+
+
+def q_hierarchy_suppliers(spark, sf_dir):
+    """Single-linkage agglomerative clustering (the reference's
+    CommunityDetector strategy='hierarchical', core/analyse/communities.py:
+    88-108, re-expressed for the connectivity-constrained case) of the
+    NPMI-distance supplier graph into 5 clusters: distributed Borůvka MST
+    = the single-linkage dendrogram, cut the k-1 heaviest merges, label by
+    connected components (min-id canonical). Oracle: independent pure-
+    Python union-find agglomeration over the same DuckDB-computed distance
+    edges, emitted as literal rows."""
+    from bluegraph_spark.functions.mi import npmi_distance_col
+    from bluegraph_spark.operators.hierarchy import single_linkage_clusters
+
+    e = _supplier_edges_npmi(spark, sf_dir)
+    dist = e.select(
+        "src", "dst", F.round(npmi_distance_col(F.col("npmi")), 8).alias("distance")
+    )
+    res = single_linkage_clusters(dist, n_clusters=HIER_K)
+    return res.labels.select("id", "cluster")
 
 
 def q_lp_predict_emb(spark, sf_dir):
@@ -900,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fastrp_parts": q_fastrp_parts,
         "kshortest_parts": q_kshortest_parts,
         "lp_predict_emb": q_lp_predict_emb,
+        "hierarchy_suppliers": q_hierarchy_suppliers,
         "dedup_incremental_docs": q_dedup_incremental_docs,
         "negative_edges_li": q_negative_edges_li,
         "edge_features_emb": q_edge_features_emb,
@@ -2048,6 +2070,48 @@ FROM (VALUES
 """
 
 
+def _hierarchy_oracle_sql(sf_dir: str | None = None, k: int = HIER_K) -> str:
+    """Independent single-linkage: pure-Python union-find over the
+    DuckDB-computed NPMI-distance edges, merging in the engine's
+    (distance, src, dst) total order until k clusters remain; min-id
+    canonical labels, emitted as literal rows (the MST/IVF oracle
+    technique for data-dependent constants)."""
+    import duckdb
+
+    con = duckdb.connect()
+    d = sf_dir or ORACLE_SF_DIR
+    for t in ("lineitem", "supplier"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    rows = con.sql(
+        f"""WITH {_SUPP_NPMI_EDGES}
+SELECT src, dst, ROUND(1.0 / w, 8) AS dist FROM wedges"""
+    ).fetchall()
+    nodes = sorted({n for r in rows for n in r[:2]})
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    n_comp = len(nodes)
+    for s, t, w in sorted(rows, key=lambda r: (r[2], r[0], r[1])):
+        if n_comp <= k:
+            break
+        ra, rb = find(s), find(t)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            n_comp -= 1
+    values = ",\n".join(f"('{n}', '{find(n)}')" for n in nodes)
+    return f"""
+SELECT CAST(id AS VARCHAR) AS id, CAST(cluster AS VARCHAR) AS cluster
+FROM (VALUES
+{values}
+) AS t(id, cluster)
+"""
+
+
 def _minhash_incremental_sql() -> str:
     """The incremental contract as SQL: the batch-involving subset of the
     one-shot MinHash run (pairs are canonical id_a < id_b and batch ids
@@ -2310,6 +2374,7 @@ WHERE c.src IS NOT NULL
         "fastrp_parts": _fastrp_sql(),
         "kshortest_parts": _kssp_sql(),
         "lp_predict_emb": _lp_sql(),
+        "hierarchy_suppliers": _hierarchy_oracle_sql(),
         "dedup_incremental_docs": _minhash_incremental_sql(),
         "user_top_events": """
 WITH agg AS (

@@ -122,3 +122,69 @@ def closeness_centrality(
     return spark.createDataFrame(
         sorted(cc.items()), f"id {id_type}, closeness double"
     )
+
+
+def girvan_newman_communities(
+    edges: DataFrame,
+    weight_col: str | None = None,
+    n_communities: int = 2,
+    intermediate: bool = False,
+    directed: bool = False,
+    max_nodes: int = DEFAULT_MAX_NODES,
+    max_edges: int = DEFAULT_MAX_EDGES,
+) -> DataFrame:
+    """Girvan–Newman divisive communities — driver-side, gated.
+
+    Reference: ``CommunityDetector.detect_communities(
+    strategy="girvan-newman", n_communities, intermediate)``
+    (/root/reference/bluegraph/backends/networkx/analyse/communities.py:
+    85-109): peel highest-edge-betweenness edges until the partition has
+    ``n_communities`` parts; with ``weight_col`` the most-valuable edge is
+    the HEAVIEST edge (the reference's ``heaviest`` hook) instead of the
+    highest-betweenness one. Like betweenness itself, GN is all-pairs
+    shortest paths per peeled edge — driver-side behind the same size
+    gates, for the pruned visualization graphs where the reference uses it.
+
+    Returns (id, community) with min-id canonical labels, or with
+    ``intermediate`` (id, communities array<int>) — the reference's
+    per-layer membership indices.
+    """
+    import itertools
+
+    import networkx as nx
+    from networkx.algorithms.community.centrality import girvan_newman as gn
+
+    g = _collect_graph(edges, weight_col, directed, max_nodes, max_edges)
+
+    def heaviest(graph):
+        return max(graph.edges(data=True), key=lambda e: e[2]["_w"])[:2]
+
+    communities = gn(
+        g, most_valuable_edge=heaviest if weight_col is not None else None
+    )
+    layers = list(
+        itertools.takewhile(lambda c: len(c) <= n_communities, communities)
+    )
+    if not layers:
+        raise ValueError(
+            f"the first Girvan–Newman split already has more than "
+            f"{n_communities} communities"
+        )
+    spark = edges.sparkSession
+    id_type = dict(edges.dtypes)["src"]
+    if not intermediate:
+        rows = []
+        for comm in layers[-1]:
+            label = min(comm)
+            rows.extend((n, label) for n in comm)
+        return spark.createDataFrame(
+            sorted(rows), f"id {id_type}, community {id_type}"
+        )
+    membership: dict = {n: [] for n in g.nodes()}
+    for layer in layers:
+        for i, comm in enumerate(layer):
+            for n in comm:
+                membership[n].append(i)
+    return spark.createDataFrame(
+        sorted(membership.items()), f"id {id_type}, communities array<int>"
+    )
