@@ -751,6 +751,30 @@ LP_ITERS = 15
 HIER_K = 5
 
 
+def q_triples_orders(spark, sf_dir):
+    """RDF-style triple export (reference PGFrame.to_triples,
+    core/io.py:1144-1162) of the order→customer graph: one triple per
+    edge (predicate = edge type), plus @type and literal-property triples
+    per node; array-valued cells explode one triple per element. Pure
+    union-of-projections — entirely SQL-expressible, hence a full
+    hash-gated row."""
+    from bluegraph_spark.pgframe import SparkPGFrame
+
+    o = _t(spark, sf_dir, "orders")
+    nodes = o.select(
+        F.col("o_orderkey").cast("string").alias("id"),
+        F.array(F.lit("order")).alias("type"),
+        F.floor("o_totalprice").cast("long").alias("price_bucket"),
+    )
+    edges = o.select(
+        F.col("o_orderkey").cast("string").alias("src"),
+        F.col("o_custkey").cast("string").alias("dst"),
+        F.array(F.lit("placed_by")).alias("type"),
+    )
+    pg = SparkPGFrame(nodes, edges, directed=True)
+    return pg.to_triples()
+
+
 def q_hierarchy_suppliers(spark, sf_dir):
     """Single-linkage agglomerative clustering (the reference's
     CommunityDetector strategy='hierarchical', core/analyse/communities.py:
@@ -922,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kshortest_parts": q_kshortest_parts,
         "lp_predict_emb": q_lp_predict_emb,
         "hierarchy_suppliers": q_hierarchy_suppliers,
+        "triples_orders": q_triples_orders,
         "dedup_incremental_docs": q_dedup_incremental_docs,
         "negative_edges_li": q_negative_edges_li,
         "edge_features_emb": q_edge_features_emb,
@@ -2375,6 +2400,17 @@ WHERE c.src IS NOT NULL
         "kshortest_parts": _kssp_sql(),
         "lp_predict_emb": _lp_sql(),
         "hierarchy_suppliers": _hierarchy_oracle_sql(),
+        "triples_orders": """
+SELECT CAST(o_orderkey AS VARCHAR) AS subject, 'placed_by' AS predicate,
+       CAST(o_custkey AS VARCHAR) AS object
+FROM orders
+UNION ALL
+SELECT CAST(o_orderkey AS VARCHAR), '@type', 'order' FROM orders
+UNION ALL
+SELECT CAST(o_orderkey AS VARCHAR), 'price_bucket',
+       CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR)
+FROM orders
+""",
         "dedup_incremental_docs": _minhash_incremental_sql(),
         "user_top_events": """
 WITH agg AS (

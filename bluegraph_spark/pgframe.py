@@ -526,6 +526,220 @@ class SparkPGFrame:
 
     # ---- JSON / CSV round-trips (core/io.py:529-548, 1133-1142, 1254-1311)
 
+    def to_triples(
+        self,
+        predicate_prop: str = "type",
+        include_type: bool = True,
+        include_literals: bool = True,
+    ) -> DataFrame:
+        """(subject, predicate, object) triples — distributed.
+
+        Reference ``PGFrame.to_triples`` (core/io.py:1144-1162): one triple
+        per edge with the edge's ``predicate_prop`` value as predicate,
+        plus (id, property_name, value) literal triples for every non-null
+        node property when ``include_literals``. Array-valued properties
+        (e.g. the @type set) explode to one triple per element, which is
+        the RDF-correct reading of the reference's set-valued cells. All
+        three columns are strings; a pure union-of-projections plan.
+        """
+        e = self._edges
+        if predicate_prop in e.columns:
+            pred = F.col(predicate_prop)
+            if dict(e.dtypes).get(predicate_prop, "").startswith("array"):
+                e = e.withColumn("_p", F.explode(pred))
+                pred = F.col("_p")
+        else:
+            pred = F.lit(predicate_prop)
+        parts = [
+            e.select(
+                F.col("src").cast("string").alias("subject"),
+                pred.cast("string").alias("predicate"),
+                F.col("dst").cast("string").alias("object"),
+            )
+        ]
+        if include_literals:
+            for prop in self.node_properties():
+                if prop == "type" and not include_type:
+                    continue
+                col = F.col(prop)
+                frame = self._nodes.filter(col.isNotNull())
+                if dict(self._nodes.dtypes)[prop].startswith("array"):
+                    frame = frame.select("id", F.explode(col).alias("_v"))
+                    col = F.col("_v")
+                out_name = "@type" if prop == "type" else prop
+                parts.append(
+                    frame.select(
+                        F.col("id").cast("string").alias("subject"),
+                        F.lit(out_name).alias("predicate"),
+                        col.cast("string").alias("object"),
+                    )
+                )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def export_to_gephi(
+        self,
+        prefix: str,
+        node_attr_mapping: dict,
+        edge_attr_mapping: dict,
+        edge_filter=None,
+        max_nodes: int = 100_000,
+    ) -> None:
+        """Gephi CSV export (reference core/io.py:550-614): semicolon-
+        separated ``<prefix>_nodes.csv`` / ``<prefix>_edges.csv``, node ids
+        replaced by 1-based integers with the original id as the Label
+        column. The reference uses pandas positional index; this engine
+        uses the deterministic global id-rank (same mapping whenever the
+        reference's node frame is id-sorted). Gephi artifacts are
+        single-file driver-side visualization exports by nature, so this
+        collects behind a size gate like the centrality bridge.
+        """
+        n_nodes = self._nodes.count()
+        if n_nodes > max_nodes:
+            raise ValueError(
+                f"{n_nodes} nodes > max_nodes={max_nodes}: Gephi export is "
+                "a driver-side visualization artifact; reduce the graph "
+                "first or raise the gate explicitly"
+            )
+        from bluegraph_spark.operators.linkpred import node_index
+
+        idx = node_index(self._nodes.select("id"))
+        id_of = {r.id: r.idx + 1 for r in idx.collect()}
+
+        edge_rows = []
+        for r in self._edges.collect():
+            d = r.asDict()
+            if edge_filter is not None and not edge_filter(
+                d["src"], d["dst"], d
+            ):
+                continue
+            edge_rows.append(
+                [id_of[d["src"]], id_of[d["dst"]]]
+                + [d.get(a) for a in edge_attr_mapping]
+            )
+        with open(f"{prefix}_edges.csv", "w") as f:
+            f.write(
+                "Source;Target;"
+                + ";".join(edge_attr_mapping.values())
+                + "\n"
+            )
+            f.write(
+                "\n".join(";".join(str(x) for x in row) for row in edge_rows)
+            )
+
+        node_rows = []
+        for r in self._nodes.collect():
+            d = r.asDict()
+            node_rows.append(
+                [id_of[d["id"]], d["id"]]
+                + [d.get(a) for a in node_attr_mapping]
+            )
+        node_rows.sort(key=lambda x: x[0])
+        with open(f"{prefix}_nodes.csv", "w") as f:
+            f.write(
+                "Id;Label;" + ";".join(node_attr_mapping.values()) + "\n"
+            )
+            f.write(
+                "\n".join(";".join(str(x) for x in row) for row in node_rows)
+            )
+
+    @classmethod
+    def from_jsonld(
+        cls,
+        spark,
+        resources,
+        include_context: bool = True,
+        type_handler=None,
+        types_from_relations: bool = True,
+        exclude: list | None = None,
+        only_props: bool = False,
+        directed: bool = True,
+    ) -> "SparkPGFrame":
+        """Build a PGFrame from JSON-LD resources (reference from_jsonld,
+        core/io.py:457-493 over the _nodes_edges_from_dict walk). The walk
+        itself runs driver-side over the resource dicts — the reference
+        shape, for the reference's document-collection scale; a 10^12-
+        resource ingest would spark.read.json + explode the same mapping.
+        Duplicate node occurrences aggregate with set-union type/attr
+        merge (the reference's _aggregate_nodes)."""
+        import pandas as pd
+
+        state: dict = {"nodes": [], "edges": []}
+        for r in resources:
+            _jsonld_walk(
+                state,
+                None,
+                None,
+                None,
+                r,
+                include_context,
+                type_handler,
+                types_from_relations,
+                exclude or [],
+                only_props,
+            )
+        # aggregate duplicate node records: union types, last-wins attrs
+        merged: dict = {}
+        for rec in state["nodes"]:
+            cur = merged.setdefault(rec["id"], {"id": rec["id"]})
+            for k, v in rec.items():
+                if k == "type":
+                    cur["type"] = sorted(set(cur.get("type", [])) | set(v))
+                else:
+                    cur[k] = v
+        node_rows = list(merged.values())
+        edge_keys = {}
+        for rec in state["edges"]:
+            key = (rec["src"], rec["dst"])
+            cur = edge_keys.setdefault(key, {"src": key[0], "dst": key[1]})
+            cur["type"] = sorted(set(cur.get("type", [])) | set(rec["type"]))
+        edge_rows = list(edge_keys.values())
+
+        if node_rows:
+            npdf = pd.DataFrame(node_rows)
+            nodes = spark.createDataFrame(npdf.where(pd.notnull(npdf), None))
+        else:
+            nodes = spark.createDataFrame([], "id string")
+        if edge_rows:
+            edges = spark.createDataFrame(pd.DataFrame(edge_rows))
+        else:
+            edges = spark.createDataFrame([], "src string, dst string")
+        return cls(nodes, edges, directed=directed)
+
+    def to_jsonld(self, edges_key: str = "edges") -> list[dict]:
+        """JSON-LD export (reference to_jsonld, core/io.py:495-528): one
+        resource per node with '@id'/'@type' plus properties; outgoing
+        edges nested under ``edges_key`` as {edge_prop..., <type>: {'@id':
+        target}}. Driver-side collect — test/interchange scale, like
+        to_json."""
+        adj: dict = {}
+        for r in self._edges.collect():
+            d = r.asDict(recursive=True)
+            src = d.pop("src")
+            dst = d.pop("dst")
+            etype = d.pop("type", None)
+            entry = dict(d)
+            key = etype if isinstance(etype, str) else (
+                (etype or ["edge"])[0] if etype else "edge"
+            )
+            entry[key] = {"@id": str(dst)}
+            adj.setdefault(src, []).append(entry)
+
+        out = []
+        for r in self._nodes.collect():
+            d = {k: v for k, v in r.asDict(recursive=True).items() if v is not None}
+            node = {"@id": str(d.pop("id"))}
+            t = d.pop("type", None)
+            if t:
+                node["@type"] = [t] if isinstance(t, str) else list(t)
+            node.update(d)
+            if node["@id"] in adj:
+                node[edges_key] = adj[node["@id"]]
+            out.append(node)
+        return out
+
     def to_json(self) -> dict:
         """Driver-side dict in the REFERENCE export shape (core/io.py:1254-
         1283): node rows keyed ``@id``/``@type``, edge rows keyed
@@ -670,3 +884,112 @@ def _as_id_df(spark, ids) -> DataFrame:
     if isinstance(ids, DataFrame):
         return ids.select(F.col(ids.columns[0]).cast("string").alias("id")).distinct()
     return spark.createDataFrame([(str(i),) for i in ids], "id string")
+
+
+def _jsonld_walk(
+    state: dict,
+    source,
+    relation,
+    source_attrs,
+    record: dict,
+    include_context: bool,
+    type_handler,
+    types_from_relations: bool,
+    exclude: list,
+    only_props: bool = False,
+):
+    """Recursive JSON-LD resource walk (reference _nodes_edges_from_dict,
+    core/io.py:367-455): '@id' resources become nodes, scalar props become
+    node attributes, dict-valued (or list-of-dict) props become typed
+    edges to the nested resources, and untyped nested resources inherit
+    the relation name as their type when ``types_from_relations``."""
+    node_id = record.get("@id")
+    attrs: dict = {}
+    node_type = None
+    context = None
+    neighbours: dict = {}
+
+    for k, v in record.items():
+        if k == "@id":
+            continue
+        key = k.replace("@", "")
+        if key == "type":
+            node_type = type_handler(v) if type_handler else v
+        elif key == "context":
+            if include_context:
+                context = v
+        elif key not in exclude:
+            if not isinstance(v, dict):
+                if isinstance(v, list):
+                    list_property = False
+                    for el in v:
+                        if not isinstance(el, dict):
+                            list_property = True
+                            break
+                        if key not in neighbours:
+                            neighbours[key] = []
+                        if not only_props:
+                            neighbours[key].append(
+                                _jsonld_walk(
+                                    state,
+                                    node_id if node_id is not None else source,
+                                    key
+                                    if node_id is not None
+                                    else f"{relation}.{key}",
+                                    attrs if node_id is not None else source_attrs,
+                                    el,
+                                    include_context,
+                                    type_handler,
+                                    types_from_relations,
+                                    exclude,
+                                )
+                            )
+                    if list_property:
+                        attrs[key] = sorted({str(x) for x in v})
+                else:
+                    attrs[key] = v
+            elif not only_props:
+                neighbours[key] = _jsonld_walk(
+                    state,
+                    node_id if node_id is not None else source,
+                    key if node_id is not None else f"{relation}.{key}",
+                    attrs if node_id is not None else source_attrs,
+                    v,
+                    include_context,
+                    type_handler,
+                    types_from_relations,
+                    exclude,
+                )
+
+    if node_type is None and types_from_relations:
+        node_type = [relation] if relation is not None else None
+
+    if node_id is not None:
+        if isinstance(node_type, str):
+            node_type = [node_type]
+        rec = {"id": str(node_id)}
+        if node_type:
+            rec["type"] = sorted(str(t) for t in node_type)
+        if context is not None:
+            rec["context"] = str(context)
+        for a, val in attrs.items():
+            rec[a] = val
+        state["nodes"].append(rec)
+        for t, ns in neighbours.items():
+            for el in ns if isinstance(ns, list) else [ns]:
+                if el is not None:
+                    state["edges"].append(
+                        {"src": str(node_id), "dst": str(el), "type": [str(t)]}
+                    )
+    else:
+        if len(neighbours) == 0 and source_attrs is not None:
+            for a, val in attrs.items():
+                source_attrs[f"{relation}.{a}"] = val
+        else:
+            for t, ns in neighbours.items():
+                for el in ns if isinstance(ns, list) else [ns]:
+                    if el is not None and source is not None:
+                        state["edges"].append(
+                            {"src": str(source), "dst": str(el), "type": [str(t)]}
+                        )
+    return node_id

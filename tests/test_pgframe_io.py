@@ -210,3 +210,93 @@ def test_compute_all_node_metrics_karate(spark):
     pr = pagerank_oracle(g, weight="strength")
     for n, v in pr.items():
         assert rows[str(n)]["pagerank_strength"] == pytest.approx(v, abs=1e-6)
+
+
+class TestTriplesGephiJsonld:
+    """to_triples / export_to_gephi / from_jsonld / to_jsonld (reference
+    core/io.py:1144-1162, 550-614, 367-528)."""
+
+    @staticmethod
+    def _frame(spark):
+        from bluegraph_spark.pgframe import SparkPGFrame
+
+        nodes = spark.createDataFrame(
+            [("a", ["Person"], 30), ("b", ["Person", "Admin"], None), ("c", None, 25)],
+            "id string, type array<string>, age int",
+        )
+        edges = spark.createDataFrame(
+            [("a", "b", ["knows"], 0.5), ("b", "c", ["manages"], 1.5)],
+            "src string, dst string, type array<string>, w double",
+        )
+        return SparkPGFrame(nodes, edges, directed=True)
+
+    def test_to_triples(self, spark):
+        pg = self._frame(spark)
+        t = {tuple(r) for r in pg.to_triples().collect()}
+        assert ("a", "knows", "b") in t
+        assert ("b", "manages", "c") in t
+        assert ("a", "@type", "Person") in t
+        assert ("b", "@type", "Admin") in t
+        assert ("a", "age", "30") in t
+        assert ("c", "age", "25") in t
+        # null props dropped; c has no type triples
+        assert not any(s == "c" and p == "@type" for s, p, _ in t)
+        # literal toggle
+        t2 = {tuple(r) for r in pg.to_triples(include_literals=False).collect()}
+        assert t2 == {("a", "knows", "b"), ("b", "manages", "c")}
+        # include_type toggle drops @type literals only
+        t3 = {tuple(r) for r in pg.to_triples(include_type=False).collect()}
+        assert not any(p == "@type" for _, p, _ in t3)
+        assert ("a", "age", "30") in t3
+
+    def test_export_to_gephi(self, spark, tmp_path):
+        pg = self._frame(spark)
+        prefix = str(tmp_path / "viz")
+        pg.export_to_gephi(
+            prefix, {"age": "Age"}, {"w": "Weight"},
+            edge_filter=lambda s, t, props: props["w"] > 1.0,
+        )
+        nodes = open(f"{prefix}_nodes.csv").read().splitlines()
+        edges = open(f"{prefix}_edges.csv").read().splitlines()
+        assert nodes[0] == "Id;Label;Age"
+        assert nodes[1] == "1;a;30"  # 1-based global id rank
+        assert edges[0] == "Source;Target;Weight"
+        assert edges[1:] == ["2;3;1.5"]  # filter kept only b->c
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="nodes"):
+            pg.export_to_gephi(prefix, {}, {}, max_nodes=1)
+
+    def test_from_jsonld_roundtrip_semantics(self, spark):
+        from bluegraph_spark.pgframe import SparkPGFrame
+
+        resources = [
+            {
+                "@id": "p1",
+                "@type": "Person",
+                "name": "Ada",
+                "knows": {"@id": "p2", "name": "Bob"},
+                "tags": ["x", "y"],
+            },
+            {"@id": "p3", "@type": ["Robot"], "owner": [{"@id": "p1"}]},
+        ]
+        pg = SparkPGFrame.from_jsonld(spark, resources)
+        nodes = {r["id"]: r.asDict() for r in pg.nodes(props=None).collect()}
+        assert set(nodes) == {"p1", "p2", "p3"}
+        # p1 appears twice: top-level (@type Person) and as p3's untyped
+        # 'owner' target — the reference's _aggregate_values set-unions
+        # the two type readings (core/utils.py:43-56)
+        assert nodes["p1"]["type"] == ["Person", "owner"]
+        assert nodes["p1"]["name"] == "Ada"
+        assert sorted(nodes["p1"]["tags"]) == ["x", "y"]
+        # untyped nested resource typed from the incoming relation
+        assert nodes["p2"]["type"] == ["knows"]
+        assert nodes["p3"]["type"] == ["Robot"]
+        edges = {(r.src, r.dst): r.type for r in pg.edges(props=["type"]).collect()}
+        assert edges[("p1", "p2")] == ["knows"]
+        assert edges[("p3", "p1")] == ["owner"]
+
+        out = pg.to_jsonld()
+        by_id = {r["@id"]: r for r in out}
+        assert by_id["p1"]["@type"] == ["Person", "owner"]
+        assert any("knows" in e for e in by_id["p1"]["edges"])
