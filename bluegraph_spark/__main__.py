@@ -263,6 +263,52 @@ def cmd_mst(args) -> dict:
     return {"rounds": res.rounds, "converged": res.converged}
 
 
+def cmd_fastrp(args) -> dict:
+    from bluegraph_spark.operators.embeddings import fastrp_embeddings
+
+    spark = _session(args)
+    emb = fastrp_embeddings(
+        _read(spark, args.edges, args.fmt),
+        dim=args.dim,
+        iteration_weights=tuple(float(x) for x in args.weights.split(",")),
+        weight_col=args.weight_col,
+        seed=args.seed,
+        directed=args.directed,
+    )
+    _write(emb, args)
+    return {"dim": args.dim}
+
+
+def cmd_kshortest(args) -> dict:
+    from bluegraph_spark.operators.paths import k_shortest_distances
+
+    spark = _session(args)
+    res = k_shortest_distances(
+        _read(spark, args.edges, args.fmt),
+        source=args.source,
+        k=args.k,
+        weight_col=args.weight_col,
+        directed=args.directed,
+        max_iter=args.max_iter,
+    )
+    _write(res.distances, args)
+    return {"iterations": res.iterations, "converged": res.converged}
+
+
+def cmd_hierarchy(args) -> dict:
+    from bluegraph_spark.operators.hierarchy import single_linkage_clusters
+
+    spark = _session(args)
+    res = single_linkage_clusters(
+        _read(spark, args.edges, args.fmt),
+        distance_col=args.weight_col or "distance",
+        n_clusters=args.n_clusters,
+        threshold=args.threshold,
+    )
+    _write(res.labels, args)
+    return {"n_clusters": res.n_clusters, "cut_edges": res.cut_edges}
+
+
 def cmd_pipeline(args) -> dict:
     """Corpus -> co-occurrence edges -> all four analytics, checkpointed."""
     from bluegraph_spark.operators.components import connected_components
@@ -386,6 +432,30 @@ def build_parser() -> argparse.ArgumentParser:
     _add_iterative(p)
     _add_common(p)
     p.set_defaults(fn=cmd_mst)
+
+    p = sub.add_parser("fastrp")
+    _add_iterative(p)
+    p.add_argument("--dim", type=int, default=16)
+    p.add_argument("--weights", default="1.0,1.0",
+                   help="comma-separated per-iteration weights")
+    p.add_argument("--seed", type=int, default=42)
+    _add_common(p)
+    p.set_defaults(fn=cmd_fastrp)
+
+    p = sub.add_parser("kshortest")
+    _add_iterative(p)
+    p.add_argument("--source", required=True)
+    p.add_argument("--k", type=int, default=3)
+    p.add_argument("--max-iter", type=int, default=50)
+    _add_common(p)
+    p.set_defaults(fn=cmd_kshortest)
+
+    p = sub.add_parser("hierarchy")
+    _add_iterative(p)
+    p.add_argument("--n-clusters", type=int, default=None)
+    p.add_argument("--threshold", type=float, default=None)
+    _add_common(p)
+    p.set_defaults(fn=cmd_hierarchy)
 
     p = sub.add_parser("dedup")
     p.add_argument("--docs", required=True, help="documents table path (id, text)")

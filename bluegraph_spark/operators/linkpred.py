@@ -453,3 +453,14 @@ def predict_edges(
     return out.withColumn(
         "pred", (F.col("score") >= F.lit(threshold)).cast("int")
     )
+
+
+# The reference's NodeClassifier (downstream/node_classification.py:19-44)
+# differs from EdgePredictor only in where the feature table comes from —
+# node properties / embedding vectors instead of edge binary-operator
+# features (ElementClassifier.fit/predict are shared, data_structures.py:
+# 21-81). The in-engine model is the same quantized-GD logistic regression
+# over an arbitrary feature DataFrame, so the node-classification halves
+# are the same callables under their reference-facing names.
+fit_node_classifier = fit_edge_predictor
+predict_nodes = predict_edges

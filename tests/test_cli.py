@@ -157,3 +157,41 @@ def test_ann_command(spark, tmp_path, capsys):
     e = {(r.query_id, r.neighbor_id) for r in spark.read.parquet(str(tmp_path / "exact")).collect()}
     a = {(r.query_id, r.neighbor_id) for r in got.collect()}
     assert len(e & a) / len(e) >= 0.8
+
+
+def test_fastrp_kshortest_hierarchy_commands(spark, corpus_path, tmp_path, capsys):
+    edges_out = str(tmp_path / "edges5")
+    _run(capsys, [
+        "ingest", "--corpus", corpus_path, "--output", str(tmp_path / "occ5"),
+    ])
+    _run(capsys, [
+        "cooc", "--occurrences", str(tmp_path / "occ5"),
+        "--statistics", "frequency", "--output", edges_out,
+    ])
+    r = _run(capsys, [
+        "fastrp", "--edges", edges_out, "--weight-col", "frequency",
+        "--dim", "4", "--weights", "1.0,0.5",
+        "--output", str(tmp_path / "emb5"),
+    ])
+    assert r["dim"] == 4
+    emb = spark.read.parquet(str(tmp_path / "emb5"))
+    assert emb.columns == ["id", "emb"]
+    assert emb.count() > 0
+
+    src = spark.read.parquet(edges_out).first()["src"]
+    r = _run(capsys, [
+        "kshortest", "--edges", edges_out, "--weight-col", "frequency",
+        "--source", src, "--k", "2",
+        "--output", str(tmp_path / "ks5"),
+    ])
+    assert r["converged"]
+    ks = spark.read.parquet(str(tmp_path / "ks5"))
+    assert set(ks.columns) == {"id", "rank", "dist"}
+
+    r = _run(capsys, [
+        "hierarchy", "--edges", edges_out, "--weight-col", "frequency",
+        "--n-clusters", "3", "--output", str(tmp_path / "h5"),
+    ])
+    assert r["n_clusters"] == 3
+    labels = spark.read.parquet(str(tmp_path / "h5"))
+    assert labels.select("cluster").distinct().count() == 3
