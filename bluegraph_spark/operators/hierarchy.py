@@ -156,9 +156,10 @@ def single_linkage_clusters(
     else:
         if n_clusters < 1:
             raise ValueError("n_clusters must be >= 1")
-        dendro = single_linkage_dendrogram(edges, distance_col).persist()
+        mst = minimum_spanning_forest(edges, weight_col=distance_col)
+        forest = mst.tree_edges.persist()
         try:
-            m = dendro.count()
+            m = forest.count()
             nodes = (
                 edges.select(F.col("src").alias("id"))
                 .unionByName(edges.select(F.col("dst").alias("id")))
@@ -166,16 +167,20 @@ def single_linkage_clusters(
             )
             v = nodes.count()
             c0 = v - m  # components of the full input
-            cut = max(0, n_clusters - c0)
-            if cut > m:
-                cut = m
-            kept = dendro.filter(F.col("merge_rank") <= m - cut)
-            res = connected_components(
-                kept.select("src", "dst"), nodes=nodes
-            )
+            cut = max(0, min(n_clusters - c0, m))
+            # only the cut-th heaviest merges matter — a TakeOrdered of
+            # `cut` rows (k−1 in practice), not a full dendrogram rank
+            if cut:
+                top = forest.orderBy(
+                    F.col("weight").desc(), F.col("src").desc(), F.col("dst").desc()
+                ).limit(cut)
+                kept = forest.join(top, ["src", "dst"], "left_anti")
+            else:
+                kept = forest
+            res = connected_components(kept.select("src", "dst"), nodes=nodes)
             n = c0 + cut
         finally:
-            dendro.unpersist()
+            forest.unpersist()
 
     return HierarchicalResult(
         labels=res.components.withColumnRenamed("component", "cluster"),
