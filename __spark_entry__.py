@@ -856,6 +856,30 @@ def q_kshortest_parts(spark, sf_dir):
     )
 
 
+WALK_LEN = 5
+WALK_SEED = 42
+
+
+def q_walks_parts(spark, sf_dir):
+    """Deterministic distributed random-walk corpus (the data half of the
+    reference's node2vec embedder family, backends/stellargraph/embed/
+    embedders.py:49-56) over the parts frequency graph: 1 walk per node,
+    5 steps, weighted first-order transitions. The step-t choice is a pure
+    function of (seed, walk_id, t) — a 48-bit md5 hash mapped onto
+    cumulative out-weight intervals with double-exact arithmetic — so the
+    whole corpus hash-compares against the unrolled SQL replica."""
+    from bluegraph_spark.operators.walks import generate_random_walks
+
+    out = generate_random_walks(
+        _part_edges(spark, sf_dir),
+        walk_length=WALK_LEN,
+        walks_per_node=1,
+        weight_col="frequency",
+        seed=WALK_SEED,
+    )
+    return out.select("walk_id", F.col("step").cast("int").alias("step"), "node")
+
+
 FASTRP_DIM = 8
 FASTRP_SEED = 42
 FASTRP_WEIGHTS = (1.0, 0.5)
@@ -947,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lp_predict_emb": q_lp_predict_emb,
         "hierarchy_suppliers": q_hierarchy_suppliers,
         "triples_orders": q_triples_orders,
+        "walks_parts": q_walks_parts,
         "dedup_incremental_docs": q_dedup_incremental_docs,
         "negative_edges_li": q_negative_edges_li,
         "edge_features_emb": q_edge_features_emb,
@@ -1855,6 +1880,55 @@ d{r} AS (
     return "".join(pieces)
 
 
+def _walks_sql(length: int = WALK_LEN, seed: int = WALK_SEED) -> str:
+    """Unrolled SQL replica of the walk generator: same 48-bit md5 choice
+    hash, same cumulative-interval pick, one MATERIALIZED CTE per step
+    (each step CTE is referenced twice — by the next step and by its
+    output projection — and DuckDB inlines CTEs by default)."""
+    space = float(1 << 48)
+    pieces = [
+        f"WITH {_PART_OCC}, {_PART_PAIRS},",
+        """
+sym AS (
+  SELECT src, dst, CAST(frequency AS DOUBLE) AS w FROM pairs
+  UNION ALL
+  SELECT dst, src, CAST(frequency AS DOUBLE) FROM pairs
+),
+nbrs AS MATERIALIZED (
+  SELECT src, dst, w,
+         sum(w) OVER (PARTITION BY src ORDER BY dst) AS cumw,
+         sum(w) OVER (PARTITION BY src) AS totw
+  FROM (SELECT src, dst, sum(w) AS w FROM sym GROUP BY 1, 2)
+),
+s0 AS MATERIALIZED (
+  SELECT src || ':0' AS walk_id, src AS cur FROM (SELECT DISTINCT src FROM sym)
+),
+out0 AS (SELECT walk_id, 0 AS step, cur AS node FROM s0)""",
+    ]
+    for t in range(1, length + 1):
+        pieces.append(
+            f""",
+s{t} AS MATERIALIZED (
+  SELECT c.walk_id, n.dst AS cur
+  FROM s{t - 1} c JOIN nbrs n ON n.src = c.cur
+  WHERE n.cumw - n.w <=
+        (('0x' || substr(md5('{seed}:' || c.walk_id || ':{t}'), 1, 12))::BIGINT)::DOUBLE
+          * n.totw / {space}
+    AND (('0x' || substr(md5('{seed}:' || c.walk_id || ':{t}'), 1, 12))::BIGINT)::DOUBLE
+          * n.totw / {space} < n.cumw
+),
+out{t} AS (SELECT walk_id, {t} AS step, cur AS node FROM s{t})"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM out{t}" for t in range(0, length + 1)
+    )
+    pieces.append(
+        f"""
+SELECT walk_id, CAST(step AS INT) AS step, node FROM ({union})"""
+    )
+    return "".join(pieces)
+
+
 def _lp_sql(lr: float = LP_LR, iters: int = LP_ITERS) -> str:
     """Self-contained SQL replica of the quantized-GD logistic regression:
     feature reductions (the proven edge_features list_reduce construction),
@@ -2411,6 +2485,7 @@ SELECT CAST(o_orderkey AS VARCHAR), 'price_bucket',
        CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR)
 FROM orders
 """,
+        "walks_parts": _walks_sql(),
         "dedup_incremental_docs": _minhash_incremental_sql(),
         "user_top_events": """
 WITH agg AS (
