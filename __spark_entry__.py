@@ -856,6 +856,53 @@ def q_kshortest_parts(spark, sf_dir):
     )
 
 
+def q_vector_metrics_emb(spark, sf_dir):
+    """The reference's similarity-index distance kernels (poincare /
+    wasserstein / KL, downstream/similarity.py:41-66) as pure-codegen
+    column expressions over consecutive-id embedding pairs. Domain
+    transforms make every metric well-defined on arbitrary float vectors:
+    abs(x)+0.001 for the two distribution metrics (strictly positive mass)
+    and x/(|x|+1) for the Poincaré ball (norm < 1). round(6) guards the
+    log/acosh last-ulp engine differences."""
+    from bluegraph_spark.functions.vector import (
+        kl_divergence_col,
+        poincare_distance_col,
+        wasserstein_1d_col,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = a.join(
+        b, F.col("b.vec_id") == F.col("a.vec_id") + 1
+    ).select(
+        F.col("a.vec_id").alias("src"),
+        F.col("b.vec_id").alias("dst"),
+        F.col("a.v").alias("u"),
+        F.col("b.v").alias("v"),
+    )
+    pos = lambda c: F.transform(c, lambda x: F.abs(x) + F.lit(0.001))
+    norm = lambda c: F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    ball = lambda c: F.transform(c, lambda x: x / (norm(c) + F.lit(1.0)))
+    return pairs.select(
+        "src",
+        "dst",
+        F.round(
+            poincare_distance_col(ball(F.col("u")), ball(F.col("v"))), 6
+        ).alias("poincare"),
+        F.round(
+            wasserstein_1d_col(pos(F.col("u")), pos(F.col("v"))), 6
+        ).alias("wasserstein"),
+        F.round(
+            kl_divergence_col(pos(F.col("u")), pos(F.col("v"))), 6
+        ).alias("kl"),
+    )
+
+
 WALK_LEN = 5
 WALK_SEED = 42
 
@@ -972,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hierarchy_suppliers": q_hierarchy_suppliers,
         "triples_orders": q_triples_orders,
         "walks_parts": q_walks_parts,
+        "vector_metrics_emb": q_vector_metrics_emb,
         "dedup_incremental_docs": q_dedup_incremental_docs,
         "negative_edges_li": q_negative_edges_li,
         "edge_features_emb": q_edge_features_emb,
@@ -1880,6 +1928,66 @@ d{r} AS (
     return "".join(pieces)
 
 
+_VECTOR_METRICS_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+p AS MATERIALIZED (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         a.v AS u, b.v AS v,
+         list_transform(a.v, x -> abs(x) + 0.001) AS au,
+         list_transform(b.v, x -> abs(x) + 0.001) AS av
+  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+),
+-- Poincaré on ball-scaled vectors x/(|x|+1)
+poin AS (
+  SELECT src, dst,
+         -- DuckDB has no acosh: acosh(x) = ln(x + sqrt(x^2 - 1))
+         ln(x + sqrt(x * x - 1.0)) AS poincare
+  FROM (SELECT src, dst, 1.0 + 2.0 * d2 / ((1.0 - nu) * (1.0 - nv)) AS x
+  FROM (
+    SELECT src, dst,
+      list_reduce(list_transform(generate_series(1, len(u)),
+        i -> (u[i]/(nrmu+1.0) - v[i]/(nrmv+1.0)) * (u[i]/(nrmu+1.0) - v[i]/(nrmv+1.0))),
+        (a, b) -> a + b) AS d2,
+      list_reduce(list_transform(u, x -> (x/(nrmu+1.0)) * (x/(nrmu+1.0))), (a, b) -> a + b) AS nu,
+      list_reduce(list_transform(v, x -> (x/(nrmv+1.0)) * (x/(nrmv+1.0))), (a, b) -> a + b) AS nv
+    FROM (
+      SELECT src, dst, u, v,
+        sqrt(list_reduce(list_transform(u, x -> x * x), (a, b) -> a + b)) AS nrmu,
+        sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrmv
+      FROM p
+    )
+  ))
+),
+-- distribution metrics via per-element rows + cumulative windows
+ex AS MATERIALIZED (
+  SELECT src, dst, i, au[i] AS a, av[i] AS b,
+         sum(au[i]) OVER (PARTITION BY src, dst) AS sa,
+         sum(av[i]) OVER (PARTITION BY src, dst) AS sb
+  FROM p, UNNEST(generate_series(1, len(au))) t(i)
+),
+cum AS (
+  SELECT src, dst, i, a, b, sa, sb,
+         sum(a / sa) OVER (PARTITION BY src, dst ORDER BY i) AS cu,
+         sum(b / sb) OVER (PARTITION BY src, dst ORDER BY i) AS cv
+  FROM ex
+),
+dm AS (
+  SELECT src, dst,
+         sum(abs(cu - cv)) AS wasserstein,
+         sum((a / sa) * ln((a / sa) / (b / sb))) AS kl
+  FROM cum GROUP BY 1, 2
+)
+SELECT poin.src, poin.dst,
+       round(poin.poincare, 6) AS poincare,
+       round(dm.wasserstein, 6) AS wasserstein,
+       round(dm.kl, 6) AS kl
+FROM poin JOIN dm ON dm.src = poin.src AND dm.dst = poin.dst
+"""
+
+
 def _walks_sql(length: int = WALK_LEN, seed: int = WALK_SEED) -> str:
     """Unrolled SQL replica of the walk generator: same 48-bit md5 choice
     hash, same cumulative-interval pick, one MATERIALIZED CTE per step
@@ -2486,6 +2594,7 @@ SELECT CAST(o_orderkey AS VARCHAR), 'price_bucket',
 FROM orders
 """,
         "walks_parts": _walks_sql(),
+        "vector_metrics_emb": _VECTOR_METRICS_SQL,
         "dedup_incremental_docs": _minhash_incremental_sql(),
         "user_top_events": """
 WITH agg AS (

@@ -382,3 +382,70 @@ def test_incremental_index_reuse_no_corpus_pairs(spark, docs):
     batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
     for r in inc.collect():
         assert r["id_a"] in batch_ids or r["id_b"] in batch_ids
+
+
+class TestVectorMetrics:
+    """Poincaré / Wasserstein / KL column kernels (reference
+    downstream/similarity.py:41-66) vs pure-Python replicas."""
+
+    def test_metrics_match_pure_python(self, spark):
+        import math
+
+        from pyspark.sql import functions as F
+
+        from bluegraph_spark.functions.vector import (
+            kl_divergence_col,
+            poincare_distance_col,
+            wasserstein_1d_col,
+        )
+
+        cases = [
+            ([0.1, 0.2, 0.05, 0.3], [0.2, 0.1, 0.15, 0.25]),
+            ([0.4, 0.1], [0.1, 0.4]),
+            ([0.25, 0.25, 0.25], [0.25, 0.25, 0.25]),  # identical: all 0
+        ]
+        df = spark.createDataFrame(cases, "u array<double>, v array<double>")
+        rows = df.select(
+            "u", "v",
+            poincare_distance_col(F.col("u"), F.col("v")).alias("p"),
+            wasserstein_1d_col(F.col("u"), F.col("v")).alias("w"),
+            kl_divergence_col(F.col("u"), F.col("v")).alias("k"),
+        ).collect()
+        for r in rows:
+            u, v = list(r.u), list(r.v)
+            nu = sum(x * x for x in u)
+            nv = sum(x * x for x in v)
+            d2 = sum((a - b) ** 2 for a, b in zip(u, v))
+            p_want = math.acosh(1 + 2 * d2 / ((1 - nu) * (1 - nv)))
+            su, sv = sum(u), sum(v)
+            cu = cv = w_want = 0.0
+            for a, b in zip(u, v):
+                cu += a / su
+                cv += b / sv
+                w_want += abs(cu - cv)
+            k_want = sum(
+                (a / su) * math.log((a / su) / (b / sv))
+                for a, b in zip(u, v)
+                if a > 0
+            )
+            assert r.p == pytest.approx(p_want, abs=1e-12)
+            assert r.w == pytest.approx(w_want, abs=1e-12)
+            assert r.k == pytest.approx(k_want, abs=1e-12)
+
+    def test_kl_conventions(self, spark):
+        from pyspark.sql import functions as F
+
+        from bluegraph_spark.functions.vector import kl_divergence_col
+
+        df = spark.createDataFrame(
+            [
+                ([0.5, 0.5], [1.0, 0.0]),  # u>0 where v=0 -> inf
+                ([1.0, 0.0], [0.5, 0.5]),  # u=0 term contributes 0
+            ],
+            "u array<double>, v array<double>",
+        )
+        got = [r.k for r in df.select(
+            kl_divergence_col(F.col("u"), F.col("v")).alias("k")).collect()]
+        import math
+        assert got[0] == float("inf")
+        assert got[1] == pytest.approx(1.0 * math.log(1.0 / 0.5), abs=1e-12)
