@@ -903,6 +903,51 @@ def q_vector_metrics_emb(spark, sf_dir):
     )
 
 
+ENC_TEXT_DIM = 8
+
+
+def q_encode_suppliers(spark, sf_dir):
+    """Property encoder (reference ScikitLearnPGEncoder, preprocess/
+    encoders.py:412-572, re-expressed as fit-aggregations + codegen
+    transform in bluegraph_spark/preprocess.py) over supplier nodes:
+    s_acctbal standardized (population std + mean imputation),
+    s_name → top-8 smooth-idf TF-IDF with L2 rows, s_nationkey →
+    sorted-vocabulary multi-hot; features concatenated in sorted property
+    order and exploded long for the hash gate. The oracle refits
+    INDEPENDENTLY in DuckDB/Python and scores in SQL."""
+    from bluegraph_spark.pgframe import SparkPGFrame
+    from bluegraph_spark.preprocess import SparkPGEncoder
+
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("string").alias("id"),
+        F.col("s_nationkey").cast("string").alias("s_nationkey"),
+        F.col("s_name").alias("s_name"),
+        F.col("s_acctbal").cast("double").alias("s_acctbal"),
+    )
+    edges = sup.limit(0).select(
+        F.col("id").alias("src"), F.col("id").alias("dst")
+    )
+    pg = SparkPGFrame(sup, edges, directed=True)
+    pg._node_prop_types = {
+        "s_nationkey": "category",
+        "s_name": "text",
+        "s_acctbal": "numeric",
+    }
+    enc = SparkPGEncoder(
+        node_properties=["s_nationkey", "s_name", "s_acctbal"],
+        text_encoding_max_dimension=ENC_TEXT_DIM,
+    )
+    out = enc.fit_transform(pg)
+    return (
+        out._nodes.select("id", F.posexplode("features").alias("dim", "value"))
+        .select(
+            "id",
+            F.col("dim").cast("int").alias("dim"),
+            F.round("value", 6).alias("value"),
+        )
+    )
+
+
 WALK_LEN = 5
 WALK_SEED = 42
 
@@ -1020,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triples_orders": q_triples_orders,
         "walks_parts": q_walks_parts,
         "vector_metrics_emb": q_vector_metrics_emb,
+        "encode_suppliers": q_encode_suppliers,
         "dedup_incremental_docs": q_dedup_incremental_docs,
         "negative_edges_li": q_negative_edges_li,
         "edge_features_emb": q_edge_features_emb,
@@ -1928,6 +1974,87 @@ d{r} AS (
     return "".join(pieces)
 
 
+def _encode_sql(sf_dir: str | None = None, text_dim: int = ENC_TEXT_DIM) -> str:
+    """Independent refit of the supplier encoder in DuckDB/Python at
+    oracle-build time (vocabularies, idf, mean/std as literals — the
+    MST/IVF constants technique), then pure-SQL scoring mirroring the
+    engine's transform: per-term tf via list_filter, smooth-idf weights,
+    L2 row normalization with the same left-to-right addition order,
+    multi-hot categories, standardized numeric with mean imputation."""
+    import duckdb
+    import math as _math
+
+    con = duckdb.connect()
+    d = sf_dir or ORACLE_SF_DIR
+    con.sql(f"CREATE VIEW supplier AS SELECT * FROM '{d}/supplier.parquet'")
+    toks_expr = (
+        "list_filter(regexp_split_to_array(lower(coalesce(s_name, '')),"
+        " '[^a-z0-9]+'), x -> x <> '')"
+    )
+    cats = sorted(
+        r[0]
+        for r in con.sql(
+            "SELECT DISTINCT CAST(s_nationkey AS VARCHAR) FROM supplier"
+            " WHERE s_nationkey IS NOT NULL"
+        ).fetchall()
+    )
+    n_docs = con.sql("SELECT count(*) FROM supplier").fetchone()[0]
+    dfreq = con.sql(
+        f"""
+        SELECT term, count(*) AS df FROM (
+          SELECT s_suppkey, unnest(list_distinct({toks_expr})) AS term
+          FROM supplier
+        ) GROUP BY term ORDER BY df DESC, term LIMIT {text_dim}
+        """
+    ).fetchall()
+    chosen = sorted(dfreq)
+    vocab = [t for t, _ in chosen]
+    idf = [
+        round(_math.log((1.0 + n_docs) / (1.0 + df)) + 1.0, 12)
+        for _, df in chosen
+    ]
+    m, q = con.sql(
+        "SELECT round(avg(s_acctbal), 12), round(avg(s_acctbal*s_acctbal), 12)"
+        " FROM supplier"
+    ).fetchone()
+    var = q - m * m
+    s = round(_math.sqrt(var), 12) if var > 0 else 1.0
+
+    raws = [
+        f"(len(list_filter(toks, x -> x = '{v}')) * {idf[i]!r})"
+        for i, v in enumerate(vocab)
+    ]
+    norm = "sqrt(" + " + ".join(f"{r} * {r}" for r in raws) + ")"
+    text_vals = [
+        f"CASE WHEN nrm > 0 THEN round({r} / nrm, 12) ELSE 0.0 END"
+        for r in raws
+    ]
+    cat_vals = [
+        f"CASE WHEN CAST(s_nationkey AS VARCHAR) = '{c}' THEN 1.0 ELSE 0.0 END"
+        for c in cats
+    ]
+    num_val = f"round((coalesce(s_acctbal, {m!r}) - {m!r}) / {s!r}, 12)"
+    # engine feature order: sorted property names — s_acctbal, s_comment,
+    # s_nationkey
+    feats = ",\n    ".join([num_val] + text_vals + cat_vals)
+    return f"""
+WITH base AS (
+  SELECT CAST(s_suppkey AS VARCHAR) AS id, s_nationkey, s_acctbal,
+         {toks_expr} AS toks,
+         {norm} AS nrm
+  FROM supplier
+),
+scored AS (
+  SELECT id, [
+    {feats}
+  ] AS f
+  FROM base
+)
+SELECT id, CAST(i - 1 AS INT) AS dim, round(f[i], 6) AS value
+FROM scored, UNNEST(generate_series(1, len(f))) t(i)
+"""
+
+
 _VECTOR_METRICS_SQL = """
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -2595,6 +2722,7 @@ FROM orders
 """,
         "walks_parts": _walks_sql(),
         "vector_metrics_emb": _VECTOR_METRICS_SQL,
+        "encode_suppliers": _encode_sql(),
         "dedup_incremental_docs": _minhash_incremental_sql(),
         "user_top_events": """
 WITH agg AS (
