@@ -309,6 +309,22 @@ def cmd_hierarchy(args) -> dict:
     return {"n_clusters": res.n_clusters, "cut_edges": res.cut_edges}
 
 
+def cmd_walks(args) -> dict:
+    from bluegraph_spark.operators.walks import generate_random_walks
+
+    spark = _session(args)
+    out = generate_random_walks(
+        _read(spark, args.edges, args.fmt),
+        walk_length=args.walk_length,
+        walks_per_node=args.walks_per_node,
+        weight_col=args.weight_col,
+        seed=args.seed,
+        directed=args.directed,
+    )
+    _write(out, args)
+    return {"walk_length": args.walk_length, "walks_per_node": args.walks_per_node}
+
+
 def cmd_pipeline(args) -> dict:
     """Corpus -> co-occurrence edges -> all four analytics, checkpointed."""
     from bluegraph_spark.operators.components import connected_components
@@ -456,6 +472,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--threshold", type=float, default=None)
     _add_common(p)
     p.set_defaults(fn=cmd_hierarchy)
+
+    p = sub.add_parser("walks")
+    _add_iterative(p)
+    p.add_argument("--walk-length", type=int, default=10)
+    p.add_argument("--walks-per-node", type=int, default=1)
+    p.add_argument("--seed", type=int, default=42)
+    _add_common(p)
+    p.set_defaults(fn=cmd_walks)
 
     p = sub.add_parser("dedup")
     p.add_argument("--docs", required=True, help="documents table path (id, text)")

@@ -195,3 +195,26 @@ def test_fastrp_kshortest_hierarchy_commands(spark, corpus_path, tmp_path, capsy
     assert r["n_clusters"] == 3
     labels = spark.read.parquet(str(tmp_path / "h5"))
     assert labels.select("cluster").distinct().count() == 3
+
+
+def test_walks_command(spark, corpus_path, tmp_path, capsys):
+    edges_out = str(tmp_path / "edges6")
+    _run(capsys, [
+        "ingest", "--corpus", corpus_path, "--output", str(tmp_path / "occ6"),
+    ])
+    _run(capsys, [
+        "cooc", "--occurrences", str(tmp_path / "occ6"),
+        "--statistics", "frequency", "--output", edges_out,
+    ])
+    r = _run(capsys, [
+        "walks", "--edges", edges_out, "--weight-col", "frequency",
+        "--walk-length", "3", "--walks-per-node", "2",
+        "--output", str(tmp_path / "wk6"),
+    ])
+    assert r["walk_length"] == 3
+    wk = spark.read.parquet(str(tmp_path / "wk6"))
+    assert set(wk.columns) == {"walk_id", "step", "node"}
+    n_nodes = spark.read.parquet(edges_out).select("src").union(
+        spark.read.parquet(edges_out).select("dst")).distinct().count()
+    # every (node, replica) has a step-0 row
+    assert wk.filter("step = 0").count() == 2 * n_nodes
