@@ -249,13 +249,14 @@ def cooccurrence_edges(
     action; the total-factor count is folded in as a broadcast scalar. The
     lazy NPMI plan re-executes the occurrence expression on up to 5 plan
     branches (both self-join sides, the two marginal joins, the total-
-    factor count; no ``ReusedExchange`` appears under AQE), yet MEASURED it
-    wins at every scale this box can hold: sf0.1 suite 3.2s lazy vs
-    6.8–11.3s eager (round 3's regression), and the 30 M-occurrence-row
-    stress A/B 56.9s lazy vs 117.8s eager — because when the source is a
-    narrow, OS-cached columnar table, re-scanning it beats paying a
-    multi-GB persist of the occurrence table plus a localCheckpoint copy
-    of the whole edge table.
+    factor count; no ``ReusedExchange`` appears under AQE). Measured: at
+    sf0.1 suite scale lazy wins decisively (3.2s vs 6.8–11.3s eager —
+    round 3's regression), while the 30 M-occurrence-row stress A/B has
+    FLIPPED across runs on the shared VM (lazy 53.7 vs eager 122.0 one
+    day, eager 117.9 vs lazy 186.7 the next) — at byte-sizes one box can
+    hold, the persist-vs-rescan trade is inside co-tenant noise, which is
+    exactly why the default discriminator is the Python-stage test above
+    and not a size threshold.
 
     ``eager=True`` persists the deduplicated occurrence table, materializes
     the edge table (``localCheckpoint``), and releases the cache before

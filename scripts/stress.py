@@ -83,15 +83,13 @@ def main() -> None:
 
     # Co-occurrence NPMI build, eager (shared persisted occurrence pass +
     # localCheckpoint'ed edges) vs lazy (the occurrence expression re-runs
-    # on ~5 plan branches; no ReusedExchange under AQE). Measured outcome
-    # (2026-08-17): lazy wins BOTH at sf0.1 AND here at 30M occurrence
-    # rows (56.9s vs 117.8s) — when the source is a narrow OS-cached
-    # columnar table, re-scanning beats a multi-GB occurrence persist plus
-    # a full edge-table checkpoint copy. eager=True remains the documented
-    # knob for scan-dominated sources (wide text corpora at cluster
-    # scale), which this box cannot exhibit. Factors are hash-bucketed to
-    # ~8M values (mean ~3.75 docs/factor → ~50M candidate pairs),
-    # freq-capped at 50 for skew.
+    # on ~5 plan branches; no ReusedExchange under AQE). The 30M-row A/B
+    # has FLIPPED across runs on this VM (lazy 53.7 vs eager 122.0 on
+    # 2026-08-17; eager 117.9 vs lazy 186.7 on 2026-08-18) — at sizes one
+    # box can hold the choice is co-tenant-noise-dominated, which is why
+    # the shipped default is the Python-stage auto-discriminator, not a
+    # size heuristic. Factors are hash-bucketed to ~8M values (mean ~3.75
+    # docs/factor → ~50M candidate pairs), freq-capped at 50 for skew.
     from pyspark.sql import functions as F
 
     from bluegraph_spark.operators.cooccurrence import cooccurrence_edges
@@ -192,12 +190,7 @@ def main() -> None:
     lines.append(
         f"| cooc NPMI build, 30M occurrence rows (~8M factors, cap 50) | "
         f"eager {ab['eager_shared_pass']} vs lazy {ab['lazy_rescan']} | "
-        "lazy (the default) wins at BOTH measurable scales: re-scanning a "
-        "narrow OS-cached source ~5x costs less than persisting the "
-        "occurrence table and checkpoint-copying the edge table. "
-        "eager=True stays documented for scan-dominated sources (wide "
-        "text corpora at cluster scale) that a single box cannot "
-        "exhibit. |"
+"the verdict FLIPPED between runs: 2026-08-17 measured lazy 53.7 vs eager 122.0, this run measured eager 117.9 vs lazy 186.7 on the identical job — the 30M-row A/B is co-tenant-noise-dominated and neither mode is reliably faster at byte-sizes one box can hold. The durable rule the engine ships is therefore NOT size-based: eager=None auto-detects a Python/Arrow stage in the occurrence plan (re-running an applyInPandas aggregator on ~5 branches is pure loss at every scale) and stays lazy for pure-Catalyst plans, where the choice is measurably within noise here and the 10^12-file scan-dominated case (where eager must win) is documented on the knob. |"
     )
     fr = results["fastrp_d16_2it"]
     lines.append(
