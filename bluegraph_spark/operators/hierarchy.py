@@ -112,6 +112,8 @@ def single_linkage_dendrogram(
 class HierarchicalResult:
     labels: DataFrame  # (id, cluster) — cluster = min id in the cluster
     n_clusters: int
+    # forest edges undone to reach n_clusters; -1 in threshold mode
+    # (a height cut never materializes the forest, so no count exists)
     cut_edges: int
     history: list[dict[str, Any]] = field(default_factory=list)
 
