@@ -19,6 +19,13 @@ pipeline --corpus ... --output ...``. Subcommands:
   components  edge table -> (id, component)   [checkpointed, resumable]
   lpa         edge table -> (id, label)       [checkpointed, resumable]
   triangles   edge table -> (id, triangles)
+  sssp        edge table -> (id, dist)         [checkpointed, resumable]
+  kshortest   edge table -> (id, rank, dist)   [checkpointed, resumable]
+  louvain     edge table -> (id, community)
+  mst         edge table -> spanning-forest edges
+  fastrp      edge table -> (id, emb)          deterministic embeddings
+  walks       edge table -> (walk_id, step, node) deterministic corpus
+  hierarchy   edge table -> (id, cluster)      single-linkage cut
   dedup       documents table -> duplicate groups / verified near-dup pairs
   ann         embeddings table -> cosine top-k (exact | lsh | ivf)
   pipeline    corpus -> edges -> pagerank + components + lpa + triangles
@@ -247,6 +254,7 @@ def cmd_sssp(args) -> dict:
         directed=args.directed,
         max_iter=args.max_iter,
         checkpointer=_checkpointer(args),
+        resume=args.resume,
     )
     _write(res.distances, args)
     return {"iterations": res.iterations, "converged": res.converged}
@@ -290,6 +298,8 @@ def cmd_kshortest(args) -> dict:
         weight_col=args.weight_col,
         directed=args.directed,
         max_iter=args.max_iter,
+        checkpointer=_checkpointer(args),
+        resume=args.resume,
     )
     _write(res.distances, args)
     return {"iterations": res.iterations, "converged": res.converged}

@@ -79,6 +79,7 @@ def shortest_paths(
     directed: bool = False,
     max_iter: int = 50,
     checkpointer: SuperstepCheckpointer | None = None,
+    resume: bool = False,
     partitions: int | None = None,
 ) -> SSSPResult:
     """Single-source shortest-path distances over ``(src, dst[, w])``.
@@ -123,16 +124,38 @@ def shortest_paths(
     spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
 
     id_type = dict(csr.dtypes)["src"]
-    dist = spark.createDataFrame([(source,)], f"id {id_type}").select(
-        "id", F.lit(0.0).alias("dist")
-    )
-    dist = dist.repartition(n_parts, "id").localCheckpoint()
-    frontier = dist
-    prev_cp = dist
-
     history: list[dict[str, Any]] = []
     converged = False
     it = 0
+    prev_cp = None
+    if resume and checkpointer is not None and checkpointer.latest() is not None:
+        # checkpoints store (id, dist, _improved): the distance field and
+        # the frontier are both projections of the saved frame
+        it = checkpointer.latest()
+        relaxed0 = checkpointer.load(spark, it)
+        last = checkpointer.load_metrics(it)
+        dist = relaxed0.select("id", "dist")
+        frontier = relaxed0.filter(F.col("_improved")).select("id", "dist")
+        if last.get("converged"):
+            csr.unpersist()
+            return SSSPResult(
+                rebind(dist, caller), it, True, checkpointer.metrics_log()
+            )
+    else:
+        dist = spark.createDataFrame([(source,)], f"id {id_type}").select(
+            "id", F.lit(0.0).alias("dist")
+        )
+        if checkpointer is not None:
+            d0 = dist.withColumn("_improved", F.lit(True))
+            d0 = checkpointer.save(
+                0, d0, {"improved": 1, "reached": 1, "converged": False}
+            )
+            dist = d0.select("id", "dist")
+            frontier = dist
+        else:
+            dist = dist.repartition(n_parts, "id").localCheckpoint()
+            frontier = dist
+            prev_cp = dist
     try:
         while it < max_iter:
             it += 1
@@ -178,6 +201,7 @@ def shortest_paths(
                 "superstep_sec": round(time.time() - t0, 3),
                 "improved": improved,
                 "reached": int(m["rows"]),
+                "converged": improved == 0,
             }
             history.append(rec)
             if checkpointer is not None:
@@ -212,6 +236,8 @@ def k_shortest_distances(
     weight_col: str | None = None,
     directed: bool = False,
     max_iter: int = 50,
+    checkpointer: SuperstepCheckpointer | None = None,
+    resume: bool = False,
     partitions: int | None = None,
 ) -> KShortestResult:
     """k smallest DISTINCT walk lengths from ``source`` to every vertex.
@@ -273,17 +299,44 @@ def k_shortest_distances(
     spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
 
     id_type = dict(csr.dtypes)["src"]
-    state = spark.createDataFrame([(source,)], f"id {id_type}").select(
-        "id", F.lit(0.0).alias("dist")
-    )
-    state = state.repartition(n_parts, "id").localCheckpoint()
-    frontier = state
-    prev_cp = state
     rk = F.row_number().over(Window.partitionBy("id").orderBy("dist"))
 
     history: list[dict[str, Any]] = []
     converged = False
     it = 0
+    prev_cp = None
+    if resume and checkpointer is not None and checkpointer.latest() is not None:
+        # checkpoints store the merged label table (id, dist, _old):
+        # state and frontier are both projections of it, so one saved
+        # frame resumes the whole loop (same contract as SSSP/pagerank)
+        it = checkpointer.latest()
+        merged = checkpointer.load(spark, it)
+        last = checkpointer.load_metrics(it)
+        state = merged.select("id", "dist")
+        frontier = merged.filter(~F.col("_old")).select("id", "dist")
+        if last.get("converged"):
+            csr.unpersist()
+            out = state.withColumn("rank", rk.cast("int")).select(
+                "id", "rank", "dist"
+            )
+            return KShortestResult(
+                rebind(out, caller), it, True, checkpointer.metrics_log()
+            )
+    else:
+        state = spark.createDataFrame([(source,)], f"id {id_type}").select(
+            "id", F.lit(0.0).alias("dist")
+        )
+        if checkpointer is not None:
+            state0 = state.withColumn("_old", F.lit(False))
+            state0 = checkpointer.save(
+                0, state0, {"new_labels": 1, "labels": 1, "converged": False}
+            )
+            state = state0.select("id", "dist")
+            frontier = state
+        else:
+            state = state.repartition(n_parts, "id").localCheckpoint()
+            frontier = state
+            prev_cp = state
     try:
         while it < max_iter:
             it += 1
@@ -309,19 +362,26 @@ def k_shortest_distances(
                 F.sum((~F.col("_old")).cast("long")).alias("new_labels"),
                 F.count(F.lit(1)).alias("labels"),
             )
-            merged = stats_safe_local_checkpoint(merged)
+            if checkpointer is not None:
+                merged = checkpointer.save(it, merged, {"pending": True})
+            else:
+                merged = stats_safe_local_checkpoint(merged)
             m = obs.get
             release_local_checkpoint(prev_cp)
-            prev_cp = merged
+            prev_cp = merged if checkpointer is None else None
             new_labels = int(m["new_labels"] or 0)
-            history.append(
-                {
-                    "iteration": it,
-                    "superstep_sec": round(time.time() - t0, 3),
-                    "new_labels": new_labels,
-                    "labels": int(m["labels"]),
-                }
-            )
+            rec = {
+                "iteration": it,
+                "superstep_sec": round(time.time() - t0, 3),
+                "new_labels": new_labels,
+                "labels": int(m["labels"]),
+                "converged": new_labels == 0,
+            }
+            history.append(rec)
+            if checkpointer is not None:
+                from bluegraph_spark.operators.pagerank import _update_metrics
+
+                _update_metrics(checkpointer, it, rec)
             frontier = merged.filter(~F.col("_old")).select("id", "dist")
             state = merged.select("id", "dist")
             if new_labels == 0:

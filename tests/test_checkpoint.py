@@ -102,3 +102,58 @@ def test_iceberg_checkpoint_contract(spark, tmp_path):
     # incomplete even if data files exist
     os.makedirs(os.path.join(cp.data_path(2), "data"))
     assert cp.latest() == 1
+
+
+def test_sssp_and_kshortest_resume(spark, tmp_path):
+    """Both path loops continue from the latest complete superstep and
+    reproduce the uninterrupted run exactly (pagerank's resume contract,
+    extended to the label-table checkpoints round 5 added)."""
+    from pyspark.sql import functions as F
+
+    from bluegraph_spark.operators.paths import (
+        k_shortest_distances,
+        shortest_paths,
+    )
+    from bluegraph_spark.plans.checkpoint import SuperstepCheckpointer
+
+    n = 40
+    edges = spark.range(n).select(
+        F.col("id").cast("string").alias("src"),
+        ((F.col("id") * 7 + 3) % n).cast("string").alias("dst"),
+        (F.col("id") % 5 + 1).cast("double").alias("w"),
+    )
+
+    # --- SSSP ---
+    full = shortest_paths(edges, "0", weight_col="w", max_iter=6)
+    ck = SuperstepCheckpointer(str(tmp_path / "ck_sssp"), run_id="r")
+    part = shortest_paths(
+        edges, "0", weight_col="w", max_iter=2, checkpointer=ck
+    )
+    assert part.iterations == 2
+    resumed = shortest_paths(
+        edges, "0", weight_col="w", max_iter=6, checkpointer=ck, resume=True
+    )
+    assert resumed.iterations >= part.iterations
+    a = sorted(map(tuple, full.distances.collect()))
+    b = sorted(map(tuple, resumed.distances.collect()))
+    assert a == b
+    # a converged run resumes as a no-op early exit
+    again = shortest_paths(
+        edges, "0", weight_col="w", max_iter=20, checkpointer=ck, resume=True
+    )
+    assert again.converged
+    assert sorted(map(tuple, again.distances.collect())) == a
+
+    # --- k-shortest ---
+    fullk = k_shortest_distances(edges, "0", k=2, weight_col="w", max_iter=8)
+    ck2 = SuperstepCheckpointer(str(tmp_path / "ck_kssp"), run_id="r")
+    k_shortest_distances(
+        edges, "0", k=2, weight_col="w", max_iter=3, checkpointer=ck2
+    )
+    resumedk = k_shortest_distances(
+        edges, "0", k=2, weight_col="w", max_iter=8,
+        checkpointer=ck2, resume=True,
+    )
+    ak = sorted(map(tuple, fullk.distances.collect()))
+    bk = sorted(map(tuple, resumedk.distances.collect()))
+    assert ak == bk
