@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from bluegraph_spark.plans.checkpoint import SuperstepCheckpointer
-from bluegraph_spark.plans.isolation import loop_session, rebind
+from bluegraph_spark.plans.isolation import loop_partitions, loop_session, rebind
 from bluegraph_spark.plans.stats_guard import (
     release_local_checkpoint,
     stats_safe_local_checkpoint,
@@ -215,7 +215,7 @@ def connected_components(
         # predate the signature record; fall back to the session width then.
         cnt0 = prev_sig[0] if prev_sig[0] is not None else 0
         n_parts = (
-            max(1, min(conf_parts, (int(cnt0) // 250_000) + 1))
+            loop_partitions(int(cnt0), conf_parts)
             if cnt0
             else conf_parts
         )

@@ -150,7 +150,10 @@ def fastrp_embeddings(
         e = symmetrize_edges(e)
     e = e.repartition(n_parts, "src").persist()
 
-    nodes = (
+    # The vertex set is read three+ times (the init projection and every
+    # iteration's zero-degree left join): materialize it once instead of
+    # re-running the union+distinct over the edge cache per consumer.
+    nodes = stats_safe_local_checkpoint(
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
@@ -217,6 +220,7 @@ def fastrp_embeddings(
         out = stats_safe_local_checkpoint(folded)
         for s in states:
             release_local_checkpoint(s)
+        release_local_checkpoint(nodes)
     finally:
         e.unpersist()
     return out

@@ -145,13 +145,25 @@ def single_linkage_clusters(
     if (n_clusters is None) == (threshold is None):
         raise ValueError("give exactly one of n_clusters / threshold")
 
+    # One execution of the (often expensive — e.g. a lazy co-occurrence
+    # self-join) upstream edge expression: every consumer below — the MST
+    # build, the vertex set (used twice: the count and the CC isolated-node
+    # anti-join), the threshold filter — otherwise re-executes it from
+    # source. Measured at sf0.1 (hierarchy_suppliers): 3 full co-occurrence
+    # builds → 1, ~34s → ~14s end to end.
+    from bluegraph_spark.plans.stats_guard import stats_safe_local_checkpoint
+
+    edges = stats_safe_local_checkpoint(
+        edges.select("src", "dst", distance_col)
+    )
+    nodes = stats_safe_local_checkpoint(
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
     if threshold is not None:
         kept = edges.filter(F.col(distance_col) <= threshold)
-        nodes = (
-            edges.select(F.col("src").alias("id"))
-            .unionByName(edges.select(F.col("dst").alias("id")))
-            .distinct()
-        )
         res = connected_components(kept, nodes=nodes)
         n = res.components.select("component").distinct().count()
         cut = -1
@@ -162,11 +174,6 @@ def single_linkage_clusters(
         forest = mst.tree_edges.persist()
         try:
             m = forest.count()
-            nodes = (
-                edges.select(F.col("src").alias("id"))
-                .unionByName(edges.select(F.col("dst").alias("id")))
-                .distinct()
-            )
             v = nodes.count()
             c0 = v - m  # components of the full input
             cut = max(0, min(n_clusters - c0, m))

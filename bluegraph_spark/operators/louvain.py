@@ -70,7 +70,7 @@ from pyspark.sql import functions as F
 
 from bluegraph_spark.pgframe import symmetrize_edges
 from bluegraph_spark.plans.checkpoint import SuperstepCheckpointer
-from bluegraph_spark.plans.isolation import loop_session, rebind
+from bluegraph_spark.plans.isolation import loop_partitions, loop_session, rebind
 from bluegraph_spark.plans.stats_guard import (
     release_local_checkpoint,
     stats_safe_local_checkpoint,
@@ -170,25 +170,41 @@ def _local_move_rounds(
                 / F.col("tm"),
             )
         )
-        # Single-window decision: ordering (gain DESC, is_own DESC, c ASC)
-        # makes the top row per vertex the move decision itself — a mover
-        # ranks above the own-community row ONLY when its gain is strictly
+        # Single-aggregation decision under the ordering (gain DESC, is_own
+        # DESC, c ASC): the first row per vertex IS the move decision — a
+        # mover beats the own-community row ONLY when its gain is strictly
         # greater (own wins every tie, so "move iff strictly improving"
         # holds), and equal-gain movers break to the smallest community
         # label. Every vertex has an own row (the zero-row union above), so
         # the decision relation covers all ids and new labels need no join
-        # back against the label table — this replaced a stay-filter/
-        # best-filter pair plus two joins (3 fewer exchanges per round,
-        # measured ~35% off the round wall at suite scale). A window rather
-        # than min_by so the engine's ordering is literally the oracle's
-        # ORDER BY (and no negated-zero doubles ever exist).
-        w_dec = Window.partitionBy("id").orderBy(
-            F.desc("gain"), F.desc(F.col("c") == F.col("c_own")), F.asc("c")
-        )
+        # back against the label table. Implemented as ``min_by`` over the
+        # struct (-gain, not-own, c) — lexicographic struct-min is exactly
+        # the window's ORDER BY, but the aggregate partially aggregates
+        # map-side, so the decision shuffle carries ~V rows instead of
+        # sorting the whole candidate relation through a window (measured:
+        # the round wall drops ~25-30% at sf0.1). Negated-zero safety:
+        # ``gain`` is never -0.0 (kic ≥ 0 and IEEE x−x = +0.0), so -gain
+        # maps all zero gains to the same -0.0 and the Double.compare
+        # (-0.0 < 0.0) total order never sees mixed zeros.
         dec = (
-            cand.withColumn("_rn", F.row_number().over(w_dec))
-            .filter(F.col("_rn") == 1)
-            .select("id", "c_own", F.col("c").alias("c_new"))
+            cand.groupBy("id")
+            .agg(
+                F.min_by(
+                    F.struct(F.col("c_own"), F.col("c")),
+                    F.struct(
+                        (-F.col("gain")).alias("ng"),
+                        F.when(F.col("c") == F.col("c_own"), 0)
+                        .otherwise(1)
+                        .alias("no"),
+                        F.col("c").alias("c"),
+                    ),
+                ).alias("_d")
+            )
+            .select(
+                "id",
+                F.col("_d.c_own").alias("c_own"),
+                F.col("_d.c").alias("c_new"),
+            )
         )
         moved = (
             parity_fn(F.col("id")) == F.lit(par)
@@ -286,7 +302,11 @@ def louvain(
     )
     n_edges = e0.count()
     conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    n_parts = max(1, min(conf_parts, (2 * n_edges // 250_000) + 1))
+    # Sized off the undirected edge count (not the doubled symmetrized
+    # count): the round's window/argmax stages degrade past ~8 tasks at
+    # this state size — measured sweep at sf0.1 (245k edges): 2 parts
+    # 15.2-16.0s, 8 parts 14.8s, 16 parts 21.7s, 31 parts 23.3s.
+    n_parts = loop_partitions(n_edges, conf_parts)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
 

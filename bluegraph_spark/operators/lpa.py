@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from bluegraph_spark.pgframe import symmetrize_edges
 from bluegraph_spark.plans.checkpoint import SuperstepCheckpointer
-from bluegraph_spark.plans.isolation import loop_session, rebind
+from bluegraph_spark.plans.isolation import loop_partitions, loop_session, rebind
 from bluegraph_spark.plans.stats_guard import (
     release_local_checkpoint,
     stats_safe_local_checkpoint,
@@ -113,7 +113,7 @@ def label_propagation(
         n_parts = int(partitions)
     else:
         n_edges = e0.count()
-        n_parts = max(1, min(conf_parts, (n_edges // 250_000) + 1))
+        n_parts = loop_partitions(n_edges, conf_parts)
     e = e0.repartition(n_parts, "src").sortWithinPartitions("src").persist()
 
     # Vertex set from the CSR cache, NOT from e0: the label-init checkpoint

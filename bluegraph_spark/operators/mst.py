@@ -34,7 +34,7 @@ from typing import Any
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-from bluegraph_spark.plans.isolation import loop_session, rebind
+from bluegraph_spark.plans.isolation import loop_partitions, loop_session, rebind
 from bluegraph_spark.plans.stats_guard import (
     release_local_checkpoint,
     stats_safe_local_checkpoint,
@@ -86,7 +86,7 @@ def minimum_spanning_forest(
     # a 1000-row mapping is ~10 empty tasks per stage, and a Borůvka round
     # runs ~6 small jobs; the width pin lands on the loop's own session).
     conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    n_parts = max(1, min(conf_parts, (n_edges // 250_000) + 1))
+    n_parts = loop_partitions(n_edges, conf_parts)
     spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
 
     # comp: (id, comp) over vertices incident to remaining edges; vertices

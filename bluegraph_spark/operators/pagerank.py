@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from bluegraph_spark.pgframe import symmetrize_edges
 from bluegraph_spark.plans.checkpoint import SuperstepCheckpointer
-from bluegraph_spark.plans.isolation import loop_session, rebind
+from bluegraph_spark.plans.isolation import loop_partitions, loop_session, rebind
 from bluegraph_spark.plans.stats_guard import (
     release_local_checkpoint,
     stats_safe_local_checkpoint,
@@ -147,7 +147,7 @@ def pagerank(
         n_parts = int(partitions)
     else:
         n_edges_directed = out.agg(F.sum("_deg")).collect()[0][0] or 0
-        n_parts = max(1, min(conf_parts, (int(n_edges_directed) // 250_000) + 1))
+        n_parts = loop_partitions(int(n_edges_directed), conf_parts)
     # CSR-blocked layout (north rule): hash-partitioned by src AND sorted
     # within partitions. InMemoryTableScan reports the cached plan's
     # partitioning + ordering, so every superstep's sort-merge join with the

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from bluegraph_spark.pgframe import symmetrize_edges
 from bluegraph_spark.plans.checkpoint import SuperstepCheckpointer
-from bluegraph_spark.plans.isolation import loop_session, rebind
+from bluegraph_spark.plans.isolation import loop_partitions, loop_session, rebind
 from bluegraph_spark.plans.stats_guard import (
     release_local_checkpoint,
     stats_safe_local_checkpoint,
@@ -115,7 +115,7 @@ def shortest_paths(
     n_parts = (
         int(partitions)
         if partitions
-        else max(1, min(conf_parts, (n_edges // 250_000) + 1))
+        else loop_partitions(n_edges, conf_parts)
     )
     csr = e.repartition(n_parts, "src").sortWithinPartitions("src").persist()
     csr.count()
@@ -290,7 +290,7 @@ def k_shortest_distances(
     n_parts = (
         int(partitions)
         if partitions
-        else max(1, min(conf_parts, (n_edges // 250_000) + 1))
+        else loop_partitions(n_edges, conf_parts)
     )
     csr = e.repartition(n_parts, "src").sortWithinPartitions("src").persist()
     csr.count()

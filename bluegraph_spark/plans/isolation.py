@@ -26,6 +26,28 @@ from pyspark.sql import DataFrame, SparkSession
 
 _counter = itertools.count()
 
+#: Default rows-per-partition budget for the iterative loops' shuffle
+#: width (``loop_partitions``). Round plans are join/aggregation-heavy —
+#: several chained operators per row — so the budget is smaller than a
+#: scan-style 100 MB+ partition: ~32k rows keeps round tasks in the
+#: 100-500 ms band (measured at sf0.1: a 135k-edge CC round at 1
+#: partition ran 2-3 s serial, at 5 partitions 0.7-1.6 s). The budget is
+#: scale-neutral (not a function of local core count); production runs
+#: raise parallelism by raising ``spark.sql.shuffle.partitions``, which
+#: caps the width from above.
+LOOP_ROWS_PER_PARTITION = 32_000
+
+
+def loop_partitions(n_rows: int, conf_parts: int,
+                    rows_per_partition: int | None = None) -> int:
+    """Shuffle width for an iterative loop over ``n_rows`` state rows."""
+    import os
+
+    rpp = rows_per_partition or int(
+        os.environ.get("BG_LOOP_ROWS_PER_PART", LOOP_ROWS_PER_PARTITION)
+    )
+    return max(1, min(conf_parts, int(n_rows) // rpp + 1))
+
 
 def loop_session(caller: SparkSession) -> SparkSession:
     """A fresh conf-isolated session sharing ``caller``'s SparkContext.
