@@ -156,38 +156,60 @@ def keep_top_n_nodes(
     return occ.join(top, "node", "left_semi")
 
 
-def _pair_instances(occ: DataFrame, salt: int | None, salt_threshold: int) -> DataFrame:
-    """One row per (s, t, factor) with s < t, via self-join on factor.
+def _array_pairs(occ: DataFrame) -> DataFrame:
+    """(s, t, factor) with s < t via per-factor adjacency arrays.
 
+    One aggregation (``collect_set`` dedups duplicate occurrence rows, so
+    no separate ``distinct`` shuffle is needed) and a codegen'd nested
+    ``transform`` emit each factor's node pairs in place — one exchange of
+    the occurrence table instead of the self-join's distinct + two join
+    exchanges + sort-merge sorts. ``array_sort`` is the same lexicographic
+    (string) order as the join's ``a.node < b.node`` predicate, so the pair
+    multiset is identical. Skew caveat: a factor with f nodes emits its
+    f(f-1)/2 pairs inside ONE task, so unbounded hot factors need
+    ``factor_freq_cap`` (drop) or ``salt`` (which routes heavy factors
+    through the AQE-splittable salted join below) — the same two knobs the
+    self-join form documented, since 10^10-pair factors are infeasible on
+    any path.
+    """
+    grouped = occ.groupBy("factor").agg(
+        F.array_sort(F.collect_set("node")).alias("_ns")
+    )
+    return grouped.select(
+        "factor",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "_ns",
+                    lambda x, i: F.transform(
+                        F.slice("_ns", i + 2, F.size("_ns")),
+                        lambda y: F.struct(x.alias("s"), y.alias("t")),
+                    ),
+                )
+            )
+        ).alias("_p"),
+    ).select(F.col("_p.s").alias("s"), F.col("_p.t").alias("t"), "factor")
+
+
+def _pair_instances(occ: DataFrame, salt: int | None, salt_threshold: int) -> DataFrame:
+    """One row per (s, t, factor) with s < t.
+
+    Plain path: the per-factor adjacency-array form (:func:`_array_pairs`).
     With ``salt`` set, factors whose occurrence count exceeds
     ``salt_threshold`` are joined through S salted sub-joins: the left side
     gets a deterministic salt from the node id, the right side is replicated
     to every salt value, so every qualifying pair is still produced exactly
     once while the heaviest factor group is split across S tasks.
     """
-    a = occ.alias("a")
-    b = occ.alias("b")
-    plain_cond = (F.col("a.factor") == F.col("b.factor")) & (
-        F.col("a.node") < F.col("b.node")
-    )
     if not salt:
-        return a.join(b, plain_cond).select(
-            F.col("a.node").alias("s"),
-            F.col("b.node").alias("t"),
-            F.col("a.factor").alias("factor"),
-        )
+        return _array_pairs(occ)
 
     fcount = occ.groupBy("factor").agg(F.count("*").alias("_fc"))
     occ_f = occ.join(fcount, "factor")
     light = occ_f.filter(F.col("_fc") <= salt_threshold).drop("_fc")
     heavy = occ_f.filter(F.col("_fc") > salt_threshold).drop("_fc")
 
-    la, lb = light.alias("a"), light.alias("b")
-    light_pairs = la.join(lb, plain_cond).select(
-        F.col("a.node").alias("s"),
-        F.col("b.node").alias("t"),
-        F.col("a.factor").alias("factor"),
-    )
+    light_pairs = _array_pairs(light)
 
     ha = heavy.withColumn("_salt", F.pmod(F.xxhash64("node"), F.lit(salt))).alias("a")
     hb = (
@@ -277,10 +299,11 @@ def cooccurrence_edges(
     if eager is None:
         eager = plan_has_python_stage(occ)
 
-    occ = occ.select(
+    occ_raw = occ.select(
         F.col("node").cast("string").alias("node"),
         F.col("factor").cast("string").alias("factor"),
-    ).distinct()
+    )
+    occ = occ_raw.distinct()
 
     if factor_freq_cap is not None:
         fc = occ.groupBy("factor").agg(F.count("*").alias("_fc"))
@@ -293,7 +316,16 @@ def cooccurrence_edges(
         occ = occ.persist()
 
     needs_mi = any(s != "frequency" for s in statistics)
-    pairs = _pair_instances(occ, salt, salt_threshold)
+    # On the lazy, uncapped, unsalted path the pair branch reads the RAW
+    # projection: ``collect_set`` inside ``_array_pairs`` dedups duplicate
+    # occurrence rows itself, so the pair branch skips the distinct's
+    # exchange entirely. Capped/salted paths need the deduplicated (and
+    # capped) table for their frequency semantics, and the eager path
+    # shares the persisted one.
+    pairs_occ = (
+        occ_raw if (not eager and factor_freq_cap is None and not salt) else occ
+    )
+    pairs = _pair_instances(pairs_occ, salt, salt_threshold)
 
     aggs = [F.count("*").alias("frequency")]
     if keep_common_factors:

@@ -136,29 +136,48 @@ def modularity(
     their endpoint's degree).
     """
     el, _ = _edges_with_labels(edges, labels, weight_col)
-    el = el.withColumn("_intra", F.col("_cs") == F.col("_ct")).persist()
-    m_row = el.agg(F.sum("w").alias("m")).collect()[0]
-    m = float(m_row["m"] or 0.0)
-    if m == 0:
-        el.unpersist()
+    # Single pass: explode each edge to its two endpoint communities
+    # (self-pairs twice — matching the degree convention), aggregate the
+    # per-community degree sum d_c and (half the doubled) intra weight e_c
+    # in one partial-aggregating groupBy, and fold the closed form
+    # Q = Σ_c [e_c/m − (d_c/2m)²] with m = Σ_c d_c / 2 carried as a
+    # broadcast scalar — one job, one execution of the (often expensive)
+    # upstream edge expression, no persist. (The previous shape persisted
+    # the labeled edge table and ran two collect jobs over it.)
+    ends = el.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("_cs").alias("c"), F.col("w").alias("w"),
+                         (F.col("_cs") == F.col("_ct")).alias("i")),
+                F.struct(F.col("_ct").alias("c"), F.col("w").alias("w"),
+                         (F.col("_cs") == F.col("_ct")).alias("i")),
+            )
+        ).alias("_x")
+    ).select("_x.*")
+    per_c = ends.groupBy("c").agg(
+        F.sum("w").alias("d"),
+        (F.sum(F.when(F.col("i"), F.col("w")).otherwise(0.0)) / 2.0).alias("e"),
+    )
+    tot = per_c.agg(F.sum("d").alias("td"))  # td = 2m
+    row = (
+        per_c.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                # guard the zero-total-weight graph (ANSI division) — the
+                # caller returns 0.0 for td == 0 below
+                F.when(
+                    F.col("td") != 0.0,
+                    F.col("e") / (F.col("td") / 2.0)
+                    - (F.col("d") / F.col("td")) * (F.col("d") / F.col("td")),
+                ).otherwise(0.0)
+            ).alias("q"),
+            F.max("td").alias("td"),
+        )
+        .collect()[0]
+    )
+    if not row["td"]:
         return 0.0
-    # community degree sums (each edge contributes w to both endpoints)
-    dsum = (
-        el.select(F.col("_cs").alias("c"), "w")
-        .unionByName(el.select(F.col("_ct").alias("c"), "w"))
-        .groupBy("c")
-        .agg(F.sum("w").alias("d"))
-    )
-    intra = el.filter("_intra").groupBy(F.col("_cs").alias("c")).agg(F.sum("w").alias("e"))
-    per_c = dsum.join(intra, "c", "left").select(
-        (
-            F.coalesce("e", F.lit(0.0)) / m
-            - (F.col("d") / (2.0 * m)) * (F.col("d") / (2.0 * m))
-        ).alias("q")
-    )
-    q = float(per_c.agg(F.sum("q")).collect()[0][0] or 0.0)
-    el.unpersist()
-    return q
+    return float(row["q"] or 0.0)
 
 
 def coverage(edges: DataFrame, labels: DataFrame, weight_col: str | None = None) -> float:
