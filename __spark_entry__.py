@@ -887,18 +887,47 @@ def q_vector_metrics_emb(spark, sf_dir):
     norm = lambda c: F.sqrt(
         F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
     )
-    ball = lambda c: F.transform(c, lambda x: x / (norm(c) + F.lit(1.0)))
-    return pairs.select(
+    # Stage the per-row scalars (norms, positive-mass totals) through a
+    # materialized intermediate: higher-order functions are interpreted,
+    # so a scalar subexpression inside a lambda body (the ball transform's
+    # norm, the kernels' totals) is re-evaluated PER ELEMENT — O(d²)
+    # per row — and projection collapsing would inline any same-plan
+    # hoisting straight back. The checkpoint pins the scalars as plain
+    # attributes; every numeric expression (and hence every output value)
+    # is unchanged.
+    staged = pairs.select(
         "src",
         "dst",
+        "u",
+        "v",
+        pos(F.col("u")).alias("pu"),
+        pos(F.col("v")).alias("pv"),
+        norm(F.col("u")).alias("nu"),
+        norm(F.col("v")).alias("nv"),
+        F.aggregate(
+            pos(F.col("u")), F.lit(0.0), lambda acc, x: acc + x
+        ).alias("su"),
+        F.aggregate(
+            pos(F.col("v")), F.lit(0.0), lambda acc, x: acc + x
+        ).alias("sv"),
+    ).localCheckpoint()
+    ball_u = F.transform("u", lambda x: x / (F.col("nu") + F.lit(1.0)))
+    ball_v = F.transform("v", lambda x: x / (F.col("nv") + F.lit(1.0)))
+    return staged.select(
+        "src",
+        "dst",
+        F.round(poincare_distance_col(ball_u, ball_v), 6).alias("poincare"),
         F.round(
-            poincare_distance_col(ball(F.col("u")), ball(F.col("v"))), 6
-        ).alias("poincare"),
-        F.round(
-            wasserstein_1d_col(pos(F.col("u")), pos(F.col("v"))), 6
+            wasserstein_1d_col(
+                F.col("pu"), F.col("pv"), F.col("su"), F.col("sv")
+            ),
+            6,
         ).alias("wasserstein"),
         F.round(
-            kl_divergence_col(pos(F.col("u")), pos(F.col("v"))), 6
+            kl_divergence_col(
+                F.col("pu"), F.col("pv"), F.col("su"), F.col("sv")
+            ),
+            6,
         ).alias("kl"),
     )
 

@@ -51,11 +51,22 @@ def poincare_distance_col(u: Column, v: Column) -> Column:
     return F.acosh(val)
 
 
-def wasserstein_1d_col(u: Column, v: Column) -> Column:
+def wasserstein_1d_col(
+    u: Column, v: Column, total_u: Column | None = None,
+    total_v: Column | None = None,
+) -> Column:
     """W1 on common support 0..n−1 of the sum-normalized vectors
     (reference similarity.py:52-58). One fold: the accumulator carries
-    the two running cumulative sums and the distance so far."""
-    su, sv = _total(u), _total(v)
+    the two running cumulative sums and the distance so far.
+
+    Pass ``total_u`` / ``total_v`` (e.g. columns precomputed in an earlier
+    projection) to keep the totals out of the fold lambda: higher-order
+    functions are interpreted, and a scalar subexpression referenced
+    inside the lambda body is re-evaluated per element — an O(d²) cost
+    per row for a d-element fold that the precomputed form avoids. Values
+    are identical either way (same expression over the same inputs)."""
+    su = total_u if total_u is not None else _total(u)
+    sv = total_v if total_v is not None else _total(v)
     pairs = F.zip_with(u, v, lambda a, b: F.struct(a.alias("a"), b.alias("b")))
     acc0 = F.struct(
         F.lit(0.0).alias("cu"), F.lit(0.0).alias("cv"), F.lit(0.0).alias("d")
@@ -74,10 +85,16 @@ def wasserstein_1d_col(u: Column, v: Column) -> Column:
     return F.aggregate(pairs, acc0, step, lambda acc: acc["d"])
 
 
-def kl_divergence_col(u: Column, v: Column) -> Column:
+def kl_divergence_col(
+    u: Column, v: Column, total_u: Column | None = None,
+    total_v: Column | None = None,
+) -> Column:
     """Σ rel_entr(u/Σu, v/Σv) (reference similarity.py:61-66): 0 where
-    u_i = 0; +inf where u_i > 0 and v_i = 0."""
-    su, sv = _total(u), _total(v)
+    u_i = 0; +inf where u_i > 0 and v_i = 0. ``total_u`` / ``total_v``:
+    see :func:`wasserstein_1d_col` — keeps the totals out of the
+    per-element lambda re-evaluation."""
+    su = total_u if total_u is not None else _total(u)
+    sv = total_v if total_v is not None else _total(v)
     terms = F.zip_with(
         u,
         v,

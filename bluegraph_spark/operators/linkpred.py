@@ -376,7 +376,24 @@ def fit_edge_predictor(
             for i, c in enumerate(fcols)
         ],
     ).persist()
-    std.count()
+    n_rows = std.count()
+    # Every GD iteration is one full-reduction job over this cache; at
+    # small row counts a session-wide partition fan-out just multiplies
+    # task-scheduling cost by the iteration count. Re-layout the cache at
+    # the loop width (same rows-per-partition budget as the superstep
+    # loops). The per-step round(quantize) already makes the trajectory
+    # independent of partitioning, so the values are unaffected.
+    from bluegraph_spark.plans.isolation import loop_partitions
+
+    conf_parts = int(
+        features.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    n_parts = loop_partitions(n_rows, conf_parts)
+    if n_parts < std.rdd.getNumPartitions():
+        packed = std.coalesce(n_parts).persist()
+        packed.count()
+        std.unpersist()
+        std = packed
 
     b = 0.0
     w = [0.0] * len(fcols)
