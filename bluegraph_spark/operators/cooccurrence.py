@@ -191,25 +191,47 @@ def _array_pairs(occ: DataFrame) -> DataFrame:
     ).select(F.col("_p.s").alias("s"), F.col("_p.t").alias("t"), "factor")
 
 
-def _pair_instances(occ: DataFrame, salt: int | None, salt_threshold: int) -> DataFrame:
+def _join_pairs(occ: DataFrame) -> DataFrame:
+    """(s, t, factor) with s < t via the factor self-equi-join."""
+    a = occ.alias("a")
+    b = occ.alias("b")
+    return a.join(
+        b,
+        (F.col("a.factor") == F.col("b.factor"))
+        & (F.col("a.node") < F.col("b.node")),
+    ).select(
+        F.col("a.node").alias("s"),
+        F.col("b.node").alias("t"),
+        F.col("a.factor").alias("factor"),
+    )
+
+
+def _pair_instances(
+    occ: DataFrame,
+    salt: int | None,
+    salt_threshold: int,
+    strategy: str = "join",
+) -> DataFrame:
     """One row per (s, t, factor) with s < t.
 
-    Plain path: the per-factor adjacency-array form (:func:`_array_pairs`).
-    With ``salt`` set, factors whose occurrence count exceeds
-    ``salt_threshold`` are joined through S salted sub-joins: the left side
-    gets a deterministic salt from the node id, the right side is replicated
-    to every salt value, so every qualifying pair is still produced exactly
-    once while the heaviest factor group is split across S tasks.
+    ``strategy`` picks the plain-path formulation (see
+    ``cooccurrence_edges`` for the trade-off); with ``salt`` set, factors
+    whose occurrence count exceeds ``salt_threshold`` are joined through S
+    salted sub-joins: the left side gets a deterministic salt from the
+    node id, the right side is replicated to every salt value, so every
+    qualifying pair is still produced exactly once while the heaviest
+    factor group is split across S tasks.
     """
+    plain = _array_pairs if strategy == "array" else _join_pairs
     if not salt:
-        return _array_pairs(occ)
+        return plain(occ)
 
     fcount = occ.groupBy("factor").agg(F.count("*").alias("_fc"))
     occ_f = occ.join(fcount, "factor")
     light = occ_f.filter(F.col("_fc") <= salt_threshold).drop("_fc")
     heavy = occ_f.filter(F.col("_fc") > salt_threshold).drop("_fc")
 
-    light_pairs = _array_pairs(light)
+    light_pairs = plain(light.select("node", "factor"))
 
     ha = heavy.withColumn("_salt", F.pmod(F.xxhash64("node"), F.lit(salt))).alias("a")
     hb = (
@@ -242,6 +264,7 @@ def cooccurrence_edges(
     salt_threshold: int = DEFAULT_SALT_THRESHOLD,
     limit: int | None = None,
     eager: bool | None = None,
+    pair_strategy: str = "join",
 ) -> DataFrame:
     """Build the co-occurrence edge table from a (node, factor) table.
 
@@ -316,16 +339,36 @@ def cooccurrence_edges(
         occ = occ.persist()
 
     needs_mi = any(s != "frequency" for s in statistics)
-    # On the lazy, uncapped, unsalted path the pair branch reads the RAW
-    # projection: ``collect_set`` inside ``_array_pairs`` dedups duplicate
-    # occurrence rows itself, so the pair branch skips the distinct's
-    # exchange entirely. Capped/salted paths need the deduplicated (and
-    # capped) table for their frequency semantics, and the eager path
-    # shares the persisted one.
+    # Pair-generation strategy (``pair_strategy``): "join" (default) runs
+    # the classic factor self-equi-join over the deduplicated occurrence
+    # table — codegen'd pair generation, AQE-splittable, the right shape
+    # when factors hold MANY nodes (dense factors: a 30-node factor emits
+    # 435 pairs, and the nested array transform below is interpreted).
+    # "array" aggregates each factor's node set and emits pairs with a
+    # nested transform — one exchange of the occurrence table instead of
+    # three, measurably faster when factors hold FEW nodes (sparse
+    # factors, e.g. ≤ ~8 nodes each; measured at sf0.1: parts graph
+    # (≈4 nodes/factor) 1.8s → 1.35s, supplier graph (≈30 nodes/factor)
+    # 3.6s → 5.5s the other way). The pair multiset is identical.
+    if pair_strategy not in ("join", "array"):
+        raise ValueError("pair_strategy must be 'join' or 'array'")
+    # On the lazy, uncapped, unsalted ARRAY path the pair branch reads the
+    # RAW projection: ``collect_set`` inside ``_array_pairs`` dedups
+    # duplicate occurrence rows itself, so the pair branch skips the
+    # distinct's exchange entirely. Join/capped/salted paths need the
+    # deduplicated (and capped) table, and the eager path shares the
+    # persisted one.
     pairs_occ = (
-        occ_raw if (not eager and factor_freq_cap is None and not salt) else occ
+        occ_raw
+        if (
+            pair_strategy == "array"
+            and not eager
+            and factor_freq_cap is None
+            and not salt
+        )
+        else occ
     )
-    pairs = _pair_instances(pairs_occ, salt, salt_threshold)
+    pairs = _pair_instances(pairs_occ, salt, salt_threshold, pair_strategy)
 
     aggs = [F.count("*").alias("frequency")]
     if keep_common_factors:

@@ -145,7 +145,10 @@ def generate_negative_edges(
     """
     from bluegraph_spark.plans.stats_guard import release_local_checkpoint
 
-    e = edges.select(F.col("src"), F.col("dst"))
+    # One execution of the (possibly expensive — e.g. a distinct over a
+    # wide fact table) edge expression: the vertex set, the |E| count, and
+    # the anti-join probe(s) in every retry round all read this cache.
+    e = edges.select(F.col("src"), F.col("dst")).persist()
     if nodes is None:
         nodes = e.select(F.col("src").alias("id")).unionByName(
             e.select(F.col("dst").alias("id"))
@@ -157,9 +160,11 @@ def generate_negative_edges(
         n = int((e.count() - n_excl) * p)
     if V < 2 or n <= 0:
         release_local_checkpoint(idx)
-        return (
+        out = (
             e.select("src", "dst").limit(0).withColumn("gen_i", F.lit(0).cast("long"))
-        )
+        ).localCheckpoint()
+        e.unpersist()
+        return out
 
     spark = edges.sparkSession
     existing = e
@@ -231,6 +236,7 @@ def generate_negative_edges(
             stacklevel=2,
         )
     release_local_checkpoint(idx)
+    e.unpersist()
     return result
 
 

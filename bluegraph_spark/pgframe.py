@@ -586,6 +586,7 @@ class SparkPGFrame:
         edge_attr_mapping: dict,
         edge_filter=None,
         max_nodes: int = 100_000,
+        max_edges: int = 2_000_000,
     ) -> None:
         """Gephi CSV export (reference core/io.py:550-614): semicolon-
         separated ``<prefix>_nodes.csv`` / ``<prefix>_edges.csv``, node ids
@@ -601,6 +602,13 @@ class SparkPGFrame:
             raise ValueError(
                 f"{n_nodes} nodes > max_nodes={max_nodes}: Gephi export is "
                 "a driver-side visualization artifact; reduce the graph "
+                "first or raise the gate explicitly"
+            )
+        n_edges = self._edges.count()
+        if n_edges > max_edges:
+            raise ValueError(
+                f"{n_edges} edges > max_edges={max_edges}: Gephi export "
+                "collects the edge table to the driver; reduce the graph "
                 "first or raise the gate explicitly"
             )
         from bluegraph_spark.operators.linkpred import node_index

@@ -74,10 +74,14 @@ class SparkPGEncoder:
         edge_properties: list[str] | None = None,
         text_encoding_max_dimension: int = 128,
         standardize_numeric: bool = True,
+        category_max_dimension: int = 10_000,
     ):
         self.node_properties = node_properties
         self.edge_properties = edge_properties
         self.max_dim = int(text_encoding_max_dimension)
+        # hard cap on a category property's driver-resident vocabulary
+        # (the fit would otherwise collect() an unbounded distinct set)
+        self.category_max_dimension = int(category_max_dimension)
         self.standardize_numeric = standardize_numeric
         self._node_encoders: dict[str, _PropEncoder] = {}
         self._edge_encoders: dict[str, _PropEncoder] = {}
@@ -92,10 +96,27 @@ class SparkPGEncoder:
                 if is_arr
                 else df.select(F.col(prop).cast("string").alias("_v"))
             )
-            vocab = sorted(
-                r["_v"]
-                for r in vals.filter(F.col("_v").isNotNull()).distinct().collect()
+            # Loud gate (engine contract — same shape as the centrality
+            # bridge): a category property with an unbounded value domain
+            # (user ids, URLs) would otherwise collect an arbitrarily large
+            # vocabulary to the driver. limit(cap+1) bounds the job AND the
+            # transfer before anything melts.
+            cap = self.category_max_dimension
+            rows = (
+                vals.filter(F.col("_v").isNotNull())
+                .distinct()
+                .limit(cap + 1)
+                .collect()
             )
+            if len(rows) > cap:
+                raise ValueError(
+                    f"category property {prop!r} has more than "
+                    f"{cap} distinct values; category encoding is "
+                    "one-hot over a driver-resident vocabulary — raise "
+                    "category_max_dimension explicitly, or encode the "
+                    "property as text (capped TF-IDF) instead"
+                )
+            vocab = sorted(r["_v"] for r in rows)
             return _PropEncoder("category", vocab=vocab)
         if kind == "text":
             toks = df.select(

@@ -266,6 +266,8 @@ class TestTriplesGephiJsonld:
 
         with _pytest.raises(ValueError, match="nodes"):
             pg.export_to_gephi(prefix, {}, {}, max_nodes=1)
+        with _pytest.raises(ValueError, match="edges"):
+            pg.export_to_gephi(prefix, {}, {}, max_edges=1)
 
     def test_from_jsonld_roundtrip_semantics(self, spark):
         from bluegraph_spark.pgframe import SparkPGFrame

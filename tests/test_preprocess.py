@@ -87,3 +87,19 @@ def test_encoder_edge_properties(spark):
         tuple(r.features) for r in out._edges.select("features").collect()
     )
     assert feats == [(-1.0,), (1.0,)]
+
+
+def test_category_vocabulary_gate_raises(spark):
+    nodes = spark.createDataFrame(
+        [(str(i), f"cat{i}") for i in range(8)], "id string, kind string"
+    )
+    edges = spark.createDataFrame([], "src string, dst string")
+    pg = SparkPGFrame(nodes, edges, directed=True)
+    pg._node_prop_types = {"kind": "category"}
+    enc = SparkPGEncoder(node_properties=["kind"], category_max_dimension=5)
+    with pytest.raises(ValueError, match="distinct values"):
+        enc.fit(pg)
+    # at or under the cap the fit succeeds
+    ok = SparkPGEncoder(node_properties=["kind"], category_max_dimension=8)
+    ok.fit(pg)
+    assert ok._node_encoders["kind"].dim == 8
