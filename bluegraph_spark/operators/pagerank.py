@@ -141,10 +141,21 @@ def pagerank(
         )
     # Size the superstep partitioning from the measured edge count: 32 task
     # waves over a 2k-vertex graph cost more in scheduling than the work
-    # itself, while a 30M-edge graph needs every core. ~250k directed edges
-    # per partition keeps tasks in the hundreds of ms.
+    # itself, while a 30M-edge graph needs every core. On the common
+    # undirected default path the vertex set IS the out-weight table, so
+    # one aggregation job yields both the edge count and N (saving the
+    # separate vertices.count() job below).
+    N = None
     if partitions:
         n_parts = int(partitions)
+        if nodes is None and not directed:
+            N = out.count()
+    elif nodes is None and not directed:
+        row = out.agg(
+            F.count(F.lit(1)).alias("_n"), F.sum("_deg").alias("_m")
+        ).collect()[0]
+        N = int(row["_n"] or 0)
+        n_parts = loop_partitions(int(row["_m"] or 0), conf_parts)
     else:
         n_edges_directed = out.agg(F.sum("_deg")).collect()[0][0] or 0
         n_parts = loop_partitions(int(n_edges_directed), conf_parts)
@@ -166,7 +177,8 @@ def pagerank(
         "id", F.coalesce("dangling", F.lit(True)).alias("dangling")
     )
 
-    N = vertices.count()
+    if N is None:
+        N = vertices.count()
     if N == 0:
         e.unpersist()
         out.unpersist()
