@@ -184,17 +184,21 @@ def minimum_spanning_forest(
                 "c", F.coalesce("gp", "p").alias("p")
             )
 
-        # Two squarings per materialized job (the pointer table is tiny —
+        # Three squarings per materialized job (the pointer table is tiny —
         # bounded by the live component count — so at suite scale the
-        # per-job floor dominates, and tripling the joins inside one job to
-        # halve the job count is a straight win; the extra joins read the
-        # round's sel checkpoint, nothing upstream re-executes). The first
-        # job also folds the 2-cycle rooting join in. Exit when the SECOND
-        # squaring changed nothing: g2 == g1 means the mapping is idempotent
-        # under jumping, i.e. fully rooted — and g2 is what we keep.
+        # per-job floor dominates, and piling joins inside one job to cut
+        # the job count is a straight win; the extra joins read the
+        # round's sel checkpoint, nothing upstream re-executes). One job
+        # therefore covers pointer-chain depth 8, which roots nearly every
+        # real round in a single jump job (two squarings left typical
+        # rounds needing a second confirmation job). The first job also
+        # folds the 2-cycle rooting join in. Exit when the LAST squaring
+        # changed nothing: g == its predecessor means the mapping is
+        # idempotent under jumping, i.e. fully rooted — and g is what we
+        # keep.
         parent_cp: DataFrame | None = None
-        for _ in range(32):  # ≥ log4 of any cluster chain; loop exits early
-            g1 = _square(parent)
+        for _ in range(22):  # ≥ log8 of any cluster chain; loop exits early
+            g1 = _square(_square(parent))
             g1b = g1.select(F.col("c").alias("p"), F.col("p").alias("gp"))
             g2 = g1.join(g1b, "p", "left").select(
                 "c",
