@@ -139,8 +139,14 @@ def _local_move_rounds(
         rnd += 1
         t0 = time.time()
         par = (rnd - 1) % 2
+        # Per-round vertex state (id, c, k) — labels joined with the static
+        # degree table once and reused by the community-degree aggregate
+        # and the candidate c_own/k join (one fewer join per round than
+        # joining deg and labels separately into cand; the kic dst-side
+        # lookup keeps the narrower labels build).
+        vst = labels.join(deg, "id")
         # Community degree sums under the current assignment.
-        tot = labels.join(deg, "id").groupBy("c").agg(F.sum("k").alias("tot"))
+        tot = vst.groupBy("c").agg(F.sum("k").alias("tot"))
         # k_{i,c} for every neighboring community, PLUS a zero row for the
         # vertex's own community so the stay-gain falls out of the same
         # relation (both engines share this exact shape — the zero rows
@@ -153,8 +159,9 @@ def _local_move_rounds(
             .agg(F.sum("w").alias("kic"))
         )
         cand = (
-            kic.join(deg, "id")
-            .join(labels.select("id", F.col("c").alias("c_own")), "id")
+            kic.join(
+                vst.select("id", F.col("c").alias("c_own"), "k"), "id"
+            )
             .join(tot, "c")
             .crossJoin(F.broadcast(tm_df))
             .withColumn(
