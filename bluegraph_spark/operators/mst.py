@@ -20,9 +20,19 @@ pointer jumping over the min-edge pointer graph (which, under a total
 edge order, has exactly one 2-cycle per merged cluster and no longer
 cycles — see the in-code proof sketch): O(log depth) self-joins of a
 mapping table bounded by the component count, much cheaper than invoking
-the full CC operator per round. The surviving cross-component edge set
-(which shrinks monotonically) is re-labeled through the new map each
-round.
+the full CC operator per round.
+
+Component labels live ON the surviving edge rows (``cu``/``cv``), not in
+a separate vertex→component table: each round relabels the (monotonically
+shrinking) cross-edge set through the round's root mapping — whose size
+is bounded by the OFFERING component count, which halves geometrically —
+and drops the edges that became intra-component in the same projection.
+The earlier formulation kept an O(V) ``comp`` table and paid, per round,
+two O(E)⋈O(V) label joins to rebuild the cross set plus an O(V) comp
+update checkpoint; the edge-resident form replaces all three with one
+O(E_cross)⋈O(mapping) relabel job — one fewer checkpoint job per round
+at suite scale, strictly fewer shuffled bytes at cluster scale (no O(V)
+relation is ever touched after init).
 """
 
 from __future__ import annotations
@@ -78,51 +88,38 @@ def minimum_spanning_forest(
     )
     obs0 = Observation(f"mst_init_{time.time_ns()}")
     rem = stats_safe_local_checkpoint(
-        canon.observe(obs0, F.count(F.lit(1)).alias("n"))
+        canon.select(
+            "u", "v", "w", F.col("u").alias("cu"), F.col("v").alias("cv")
+        ).observe(obs0, F.count(F.lit(1)).alias("n"))
     )
     n_edges = int(obs0.get["n"] or 0)
     # Size the loop's shuffle width to the data (the round tables are the
-    # edge set and the component map — at suite scale a 32-wide shuffle of
+    # edge set and the root mapping — at suite scale a 32-wide shuffle of
     # a 1000-row mapping is ~10 empty tasks per stage, and a Borůvka round
-    # runs ~6 small jobs; the width pin lands on the loop's own session).
+    # runs ~4 small jobs; the width pin lands on the loop's own session).
     conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     n_parts = loop_partitions(n_edges, conf_parts)
     spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
 
-    # comp: (id, comp) over vertices incident to remaining edges; vertices
-    # with no surviving cross edge never change again, so tracking only the
-    # active frontier keeps the per-round state shrinking with the forest.
-    comp = stats_safe_local_checkpoint(
-        rem.select(F.col("u").alias("id"))
-        .unionByName(rem.select(F.col("v").alias("id")))
-        .distinct()
-        .select("id", F.col("id").alias("comp"))
-    )
-
     forest_parts: list[DataFrame] = []
     history: list[dict[str, Any]] = []
     converged = False
-    # Deterministic block release: each round's ec/comp/pointer checkpoints
-    # are dead the moment their successor materializes — free them then
-    # rather than waiting for a periodic-GC ContextCleaner pass. The sel
+    # Deterministic block release: each round's rem/pointer checkpoints are
+    # dead the moment their successor materializes — free them then rather
+    # than waiting for a periodic-GC ContextCleaner pass. The sel
     # checkpoints are NOT released (the forest output reads them lazily),
     # and the initial rem checkpoint survives for the empty-forest path.
-    prev_ec: DataFrame | None = None
+    prev_rem: DataFrame | None = None
+    # rem holds ONLY cross-component edges with current labels (invariant:
+    # cu != cv on every row — round 1 starts from singleton components
+    # cu = u, cv = v on the self-loop-free canon table; each relabel job
+    # below filters newly-intra rows out). n_cross therefore needs no
+    # separate counting job: it rides the init/relabel checkpoints.
+    n_cross = n_edges
     rnd = 0
     while rnd < max_rounds:
         rnd += 1
         t0 = time.time()
-        ec = (
-            rem.join(comp.select(F.col("id").alias("u"), F.col("comp").alias("cu")), "u")
-            .join(comp.select(F.col("id").alias("v"), F.col("comp").alias("cv")), "v")
-            .filter(F.col("cu") != F.col("cv"))
-        )
-        obs_ec = Observation(f"mst_ec_{rnd}_{time.time_ns()}")
-        ec = stats_safe_local_checkpoint(
-            ec.observe(obs_ec, F.count(F.lit(1)).alias("n"))
-        )
-        n_cross = int(obs_ec.get["n"] or 0)
-        release_local_checkpoint(prev_ec)
         if n_cross == 0:
             converged = True
             history.append(
@@ -132,12 +129,12 @@ def minimum_spanning_forest(
             break
         # every component's minimum incident edge under (w, u, v); struct
         # min gives the total-order tie-break in one partial aggregation.
-        # Explode both endpoints in one pass (a union would re-execute ec's
-        # scan twice — see pgframe.symmetrize_edges).
+        # Explode both endpoints in one pass (a union would re-execute the
+        # rem scan twice — see pgframe.symmetrize_edges).
         edge_struct = F.struct(
             F.col("w"), F.col("u"), F.col("v"), F.col("cu"), F.col("cv")
         )
-        offers = ec.select(
+        offers = rem.select(
             F.explode(F.array(F.col("cu"), F.col("cv"))).alias("c"),
             edge_struct.alias("e"),
         )
@@ -214,20 +211,44 @@ def minimum_spanning_forest(
             parent = g2.select("c", "p")
             if changed == 0:
                 break
-        mapping = parent.select(F.col("c").alias("comp"), F.col("p").alias("_new"))
-        new_comp = stats_safe_local_checkpoint(
-            comp.join(mapping, "comp", "left").select(
-                "id", F.coalesce("_new", "comp").alias("comp")
+        # Relabel the surviving edges through the round's root mapping and
+        # drop the rows the contraction made intra-component, in ONE
+        # checkpointed job (the mapping is bounded by the offering
+        # component count; every offering label has a mapping row, and
+        # labels of non-offering components are unmapped — the left join +
+        # coalesce keeps them, exactly the old comp-table semantics). The
+        # next round's n_cross rides this job's observation.
+        obs_rel = Observation(f"mst_relabel_{rnd}_{time.time_ns()}")
+        new_rem = stats_safe_local_checkpoint(
+            rem.join(
+                parent.select(F.col("c").alias("cu"), F.col("p").alias("_pu")),
+                "cu",
+                "left",
             )
+            .join(
+                parent.select(F.col("c").alias("cv"), F.col("p").alias("_pv")),
+                "cv",
+                "left",
+            )
+            .select(
+                "u",
+                "v",
+                "w",
+                F.coalesce("_pu", "cu").alias("cu"),
+                F.coalesce("_pv", "cv").alias("cv"),
+            )
+            .filter(F.col("cu") != F.col("cv"))
+            .observe(obs_rel, F.count(F.lit(1)).alias("n"))
         )
+        this_cross = n_cross
+        n_cross = int(obs_rel.get["n"] or 0)
         release_local_checkpoint(parent_cp)
-        release_local_checkpoint(comp)
-        comp = new_comp
-        rem = ec.select("u", "v", "w")
-        prev_ec = ec
+        release_local_checkpoint(prev_rem)
+        prev_rem = new_rem
+        rem = new_rem
         history.append(
             {"round": rnd, "superstep_sec": round(time.time() - t0, 3),
-             "cross_edges": n_cross, "offering_components": n_offering}
+             "cross_edges": this_cross, "offering_components": n_offering}
         )
 
     if forest_parts:
