@@ -42,10 +42,11 @@ Scale design:
 from __future__ import annotations
 
 import math
+import time
 from dataclasses import dataclass
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 
@@ -355,18 +356,52 @@ def fit_edge_predictor(
     disagreement between ``java.lang.Math.exp`` and libm ``exp``.
     """
     fcols = list(feature_cols)
+    # Conf-isolated loop scope (same discipline as the superstep loops):
+    # every GD iteration is one fixed-shape full-reduction over the
+    # standardized cache, so AQE's per-stage re-planning just splits each
+    # iteration into two driver jobs (measured: 2 jobs/iteration with AQE
+    # on, 1 without — the iteration count is the job count floor). The
+    # materialization pass below still plans under the caller's conf copy
+    # (AQE on) so the upstream feature expression keeps its adaptive join
+    # plan; the pin lands after it, before the loop.
+    from bluegraph_spark.plans.isolation import (
+        loop_partitions,
+        loop_session,
+        rebind,
+    )
+    from bluegraph_spark.plans.stats_guard import (
+        release_local_checkpoint,
+        stats_safe_local_checkpoint,
+    )
+
+    spark = loop_session(features.sparkSession)
+    features = rebind(features, spark)
     y = F.col(label_col).cast("double")
     base = features.select(
         y.alias("_y"), *[F.col(c).cast("double").alias(c) for c in fcols]
     )
 
-    stats = base.agg(
-        *[F.round(F.avg(c), quantize).alias(f"_m_{c}") for c in fcols],
-        *[
-            F.round(F.avg(F.col(c) * F.col(c)), quantize).alias(f"_q_{c}")
-            for c in fcols
-        ],
-    ).first()
+    # ONE pass over the (possibly expensive) upstream feature expression:
+    # the standardization statistics and the row count ride the cache
+    # materialization as observed metrics (same avg/round expressions the
+    # former separate stats job ran — the quantize rounding absorbs the
+    # summation-tree difference exactly as it does across partitionings).
+    # The former shape executed the upstream join twice (stats pass, then
+    # the standardized-cache build) plus a counting job.
+    obs = Observation(f"lp_fit_stats_{time.time_ns()}")
+    cached = stats_safe_local_checkpoint(
+        base.observe(
+            obs,
+            F.count(F.lit(1)).alias("_n"),
+            *[F.round(F.avg(c), quantize).alias(f"_m_{c}") for c in fcols],
+            *[
+                F.round(F.avg(F.col(c) * F.col(c)), quantize).alias(f"_q_{c}")
+                for c in fcols
+            ],
+        )
+    )
+    stats = obs.get
+    n_rows = int(stats["_n"] or 0)
     means, stds = [], []
     for c in fcols:
         m = float(stats[f"_m_{c}"])
@@ -375,31 +410,33 @@ def fit_edge_predictor(
         means.append(m)
         stds.append(s if s > 0 else 1.0)
 
-    std = base.select(
-        "_y",
-        *[
-            F.round((F.col(c) - F.lit(means[i])) / F.lit(stds[i]), quantize).alias(c)
-            for i, c in enumerate(fcols)
-        ],
-    ).persist()
-    n_rows = std.count()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     # Every GD iteration is one full-reduction job over this cache; at
     # small row counts a session-wide partition fan-out just multiplies
     # task-scheduling cost by the iteration count. Re-layout the cache at
     # the loop width (same rows-per-partition budget as the superstep
     # loops). The per-step round(quantize) already makes the trajectory
-    # independent of partitioning, so the values are unaffected.
-    from bluegraph_spark.plans.isolation import loop_partitions
-
-    conf_parts = int(
-        features.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    # independent of partitioning, so the values are unaffected. The
+    # standardization itself stays a lazy projection over the cache —
+    # 5 codegen'd column ops per row per iteration, far below one extra
+    # materialization job.
+    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     n_parts = loop_partitions(n_rows, conf_parts)
-    if n_parts < std.rdd.getNumPartitions():
-        packed = std.coalesce(n_parts).persist()
+    # ckpt is released only in the finally below: the packed cache's
+    # lineage still points at the checkpoint RDD, so freeing it earlier
+    # would make an eviction-triggered recompute of the pack raise.
+    ckpt = cached
+    if n_parts < cached.rdd.getNumPartitions():
+        packed = cached.coalesce(n_parts).persist()
         packed.count()
-        std.unpersist()
-        std = packed
+        cached = packed
+    std = cached.select(
+        "_y",
+        *[
+            F.round((F.col(c) - F.lit(means[i])) / F.lit(stds[i]), quantize).alias(c)
+            for i, c in enumerate(fcols)
+        ],
+    )
 
     b = 0.0
     w = [0.0] * len(fcols)
@@ -437,7 +474,11 @@ def fit_edge_predictor(
             ]
             history.append({"iteration": it, "loss": float(row["_loss"])})
     finally:
-        std.unpersist()
+        # cached is either the loop-width persisted pack or the checkpoint
+        # itself; unpersist no-ops on a checkpoint and the release no-ops
+        # on a persisted plan, so both paths free everything they hold.
+        cached.unpersist()
+        release_local_checkpoint(ckpt)
 
     return EdgePredictorModel(
         feature_cols=fcols,
