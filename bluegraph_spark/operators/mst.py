@@ -99,6 +99,12 @@ def minimum_spanning_forest(
     # runs ~4 small jobs; the width pin lands on the loop's own session).
     conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     n_parts = loop_partitions(n_edges, conf_parts)
+    # Same loop discipline as pagerank/cc/lpa/louvain: the round plans are
+    # fixed-shape over known-size checkpointed state, so AQE's per-stage
+    # driver re-planning only splits each round's one checkpoint job into
+    # several stage-jobs (measured: ~20 jobs/round with AQE on vs ~4
+    # without, identical output) — freeze it on the loop's own session.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
 
     forest_parts: list[DataFrame] = []
