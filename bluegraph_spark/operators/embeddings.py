@@ -134,12 +134,25 @@ def fastrp_embeddings(
     if not iteration_weights:
         raise ValueError("need at least one iteration weight")
 
-    spark = edges.sparkSession
-    n_parts = int(
-        partitions or spark.conf.get("spark.sql.shuffle.partitions")
+    # Same loop discipline as the superstep operators (pagerank/lpa/...):
+    # a private conf-isolated session, the shuffle width sized to the data,
+    # and AQE frozen once the fixed-shape iteration plans start — the K
+    # iteration checkpoints otherwise each fan out into several adaptive
+    # stage-jobs. The per-element quantize rounding already makes the
+    # embeddings partitioning-independent (test-pinned), so the re-layout
+    # cannot change values.
+    from bluegraph_spark.plans.isolation import (
+        loop_partitions,
+        loop_session,
+        rebind,
     )
 
-    e = edges.select(
+    caller = edges.sparkSession
+    spark = loop_session(caller)
+    edges = rebind(edges, spark)
+    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    e0 = edges.select(
         F.col(src).cast("string").alias("src"),
         F.col(dst).cast("string").alias("dst"),
         (
@@ -147,8 +160,17 @@ def fastrp_embeddings(
         ).alias("w"),
     )
     if not directed:
-        e = symmetrize_edges(e)
-    e = e.repartition(n_parts, "src").persist()
+        e0 = symmetrize_edges(e0)
+    e0 = e0.persist()
+    if partitions:
+        n_parts = int(partitions)
+    else:
+        n_parts = loop_partitions(e0.count(), conf_parts)
+    e = e0.repartition(n_parts, "src").persist()
+    e.count()
+    e0.unpersist()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
 
     # The vertex set is read three+ times (the init projection and every
     # iteration's zero-degree left join): materialize it once instead of
@@ -223,7 +245,7 @@ def fastrp_embeddings(
         release_local_checkpoint(nodes)
     finally:
         e.unpersist()
-    return out
+    return rebind(out, caller)
 
 
 def fastrp_embeddings_long(
