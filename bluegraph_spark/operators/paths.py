@@ -112,10 +112,19 @@ def shortest_paths(
     e = e.persist()
     n_edges = e.count()
     conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Width budget 250k rows/partition, NOT the 32k superstep default: the
+    # per-round shuffled state here is the frontier/distance field — a few
+    # thousand rows on typical inputs, two orders below the edge table the
+    # budget divides — so an edge-sized fan-out buys no parallelism for
+    # the state exchanges and pays per-stage scheduling + straggler cost
+    # every round (isolated interleaved A/B at sf0.1, 6 reps: sssp median
+    # 6.8s at 32k vs 6.3s at 250k, k-shortest 15.1s vs 12.1s). Loops whose
+    # round state IS the edge set (CC) keep the 32k budget — same A/B:
+    # cc_orders 10.2s at 32k vs 14.9s at 250k.
     n_parts = (
         int(partitions)
         if partitions
-        else loop_partitions(n_edges, conf_parts)
+        else loop_partitions(n_edges, conf_parts, rows_per_partition=250_000)
     )
     csr = e.repartition(n_parts, "src").sortWithinPartitions("src").persist()
     csr.count()
@@ -287,10 +296,12 @@ def k_shortest_distances(
     e = e.filter(F.col("src") != F.col("dst")).persist()
     n_edges = e.count()
     conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # 250k rows/partition like shortest_paths (see the comment there): the
+    # per-round label state is ≤ k·V rows, far below the edge table.
     n_parts = (
         int(partitions)
         if partitions
-        else loop_partitions(n_edges, conf_parts)
+        else loop_partitions(n_edges, conf_parts, rows_per_partition=250_000)
     )
     csr = e.repartition(n_parts, "src").sortWithinPartitions("src").persist()
     csr.count()
