@@ -95,7 +95,7 @@ def _local_move_rounds(
     sym: DataFrame,
     loops: DataFrame,
     labels: DataFrame,
-    tm_df: DataFrame,
+    tm: float | None,
     parity_fn: Callable[[Column], Column],
     max_rounds: int,
     exact_rounds: int | None,
@@ -108,7 +108,7 @@ def _local_move_rounds(
 
     ``sym``: symmetrized loop-free (src, dst, w) — persisted by the caller.
     ``loops``: (id, lw) self-loop weights (empty at level 1).
-    ``labels``: (id, c) current assignment, ``tm_df``: 1-row (tm = 2m).
+    ``labels``: (id, c) current assignment, ``tm``: the scalar 2m.
     """
     # Weighted degree: k_i = Σ incident non-loop w + 2·loop_w (nx G.degree
     # convention). Loop terms are constant across a vertex's community
@@ -163,7 +163,6 @@ def _local_move_rounds(
                 vst.select("id", F.col("c").alias("c_own"), "k"), "id"
             )
             .join(tot, "c")
-            .crossJoin(F.broadcast(tm_df))
             .withColumn(
                 "gain",
                 F.col("kic")
@@ -174,7 +173,7 @@ def _local_move_rounds(
                         F.lit(0.0)
                     )
                 )
-                / F.col("tm"),
+                / F.lit(tm).cast("double"),
             )
         )
         # Single-aggregation decision under the ordering (gain DESC, is_own
@@ -354,11 +353,20 @@ def louvain(
     try:
         for level in range(1, max_levels + 1):
             levels_run = level
-            tm_df = (
+            # 2m is loop-invariant within a level; as a broadcast 1-row
+            # relation it was re-collected — re-aggregating the sym cache —
+            # by EVERY round's decision query (a BroadcastExchange submits
+            # its own collect job). One scalar collect per level instead;
+            # F.lit reproduces the identical double in the gain expression.
+            tm_row = (
                 cur_sym.agg(F.sum("w").alias("_s"))
                 .crossJoin(cur_loops.agg(F.coalesce(F.sum("lw"), F.lit(0.0)).alias("_l")))
                 .select((F.col("_s") + 2.0 * F.col("_l")).alias("tm"))
+                .first()
             )
+            # None stays None: a NULL 2m (empty graph) must keep yielding
+            # NULL gains, exactly as the former 1-row broadcast column did.
+            tm = float(tm_row["tm"]) if tm_row["tm"] is not None else None
             lab0 = (
                 assignment.select(F.col("c").alias("id")).distinct()
                 .select("id", F.col("id").alias("c"))
@@ -369,7 +377,7 @@ def louvain(
                 cur_sym,
                 cur_loops,
                 lab0,
-                tm_df,
+                tm,
                 parity_fn,
                 max_rounds,
                 exact_rounds,
