@@ -219,9 +219,14 @@ def generate_negative_edges(
     max_m = 16 * max(m, V * V)  # collisions make hashed coverage sublinear
     while True:
         # TakeOrdered output is tiny (≤ n rows) and fully determined;
-        # materialize so the count below doesn't recompute the anti-joins.
-        result = _first_n_survivors(m).localCheckpoint()
-        got = result.count()
+        # materialize once, with the survivor count riding the
+        # checkpoint job as an observed metric (a separate count() ran a
+        # second job per retry round).
+        obs = Observation(f"negedge_round_{m}_{time.time_ns()}")
+        result = _first_n_survivors(m).observe(
+            obs, F.count(F.lit(1)).alias("got")
+        ).localCheckpoint()
+        got = int(obs.get["got"] or 0)
         if got >= n or m >= max_m:
             break
         release_local_checkpoint(result)
